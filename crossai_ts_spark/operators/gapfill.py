@@ -1,0 +1,89 @@
+"""Gap-fill: dense spine generation + LOCF / linear interpolation.
+
+Spark-first shape:
+  * The spine is GENERATED per doc (``sequence(0, n-1)`` + explode) and
+    left-joined to observations — but because both sides are keyed by
+    doc_id, we avoid the join entirely in the common case: observations are
+    re-attached to the spine with a single ``Window.partitionBy(doc_id)``
+    pass (one shuffle on doc_id, then O(n) window functions, all JVM-side).
+  * LOCF  = ``last(value, ignorenulls=True) over (unbounded preceding, 0)``
+    — the zero-order-hold of caits/core/_core_resample.py:45-54.
+  * linear = prev/next anchor windows + the exact expression
+    ``prev + (next-prev)/(next_off-prev_off) * (off-prev_off)`` in float64,
+    matching oracle/gapfill.py bitwise (np.interp semantics,
+    caits/preprocessing.py:55: backfill head, carry tail).
+
+At 100 TB the shuffle on doc_id is unavoidable for long-format input (the
+data arrives keyed by sample); skew is bounded because a doc caps at 64 Ki
+samples — `repartitionByRange(doc_id)` + AQE handles the source-level skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def make_spine(doc_lengths: DataFrame, step: int = 1) -> DataFrame:
+    """(doc_id, n) -> dense (doc_id, offset) spine, offsets 0..n-1 by step.
+
+    explode(sequence(...)) is a narrow generator — no shuffle, no driver data.
+    """
+    return doc_lengths.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("n").cast("long") - 1, F.lit(step).cast("long"))).alias(
+            "offset"
+        ),
+    )
+
+
+def _with_spine(observed: DataFrame, spine: DataFrame, value: str) -> DataFrame:
+    """Left-join observations onto the spine (doc_id, offset)."""
+    return spine.join(observed.select("doc_id", "offset", value), ["doc_id", "offset"], "left")
+
+
+def gapfill_locf(observed: DataFrame, spine: DataFrame, value: str = "value") -> DataFrame:
+    """Dense series with last-observation-carried-forward.
+
+    Leading gap stays null (no anchor) — the documented contract of
+    oracle/gapfill.py. Output: (doc_id, offset, filled double).
+    """
+    df = _with_spine(observed, spine, value)
+    w = Window.partitionBy("doc_id").orderBy("offset").rowsBetween(Window.unboundedPreceding, 0)
+    return df.select(
+        "doc_id",
+        "offset",
+        F.last(F.col(value).cast("double"), ignorenulls=True).over(w).alias("filled"),
+    )
+
+
+def gapfill_linear(observed: DataFrame, spine: DataFrame, value: str = "value") -> DataFrame:
+    """Dense series with linear interpolation between anchors.
+
+    np.interp edge semantics: backfill before first anchor, carry after
+    last. Expression order mirrors oracle/gapfill.py exactly for bitwise
+    parity: prev + (next-prev)/(next_off-prev_off) * (off-prev_off).
+    """
+    df = _with_spine(observed, spine, value)
+    v = F.col(value).cast("double")
+    wp = Window.partitionBy("doc_id").orderBy("offset").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy("doc_id").orderBy("offset").rowsBetween(0, Window.unboundedFollowing)
+    df = df.select(
+        "doc_id",
+        "offset",
+        v.alias("_v"),
+        F.last(v, ignorenulls=True).over(wp).alias("_pv"),
+        F.last(F.when(v.isNotNull(), F.col("offset")), ignorenulls=True).over(wp).alias("_po"),
+        F.first(v, ignorenulls=True).over(wn).alias("_nv"),
+        F.first(F.when(v.isNotNull(), F.col("offset")), ignorenulls=True).over(wn).alias("_no"),
+    )
+    x = F.col("offset").cast("double")
+    slope = (F.col("_nv") - F.col("_pv")) / (F.col("_no").cast("double") - F.col("_po").cast("double"))
+    interp = F.col("_pv") + slope * (x - F.col("_po").cast("double"))
+    filled = (
+        F.when(F.col("_v").isNotNull(), F.col("_v"))
+        .when(F.col("_pv").isNull(), F.col("_nv"))  # leading gap: backfill
+        .when(F.col("_nv").isNull(), F.col("_pv"))  # trailing gap: carry
+        .otherwise(interp)
+    )
+    return df.select("doc_id", "offset", filled.alias("filled"))

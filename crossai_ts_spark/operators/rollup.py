@@ -1,0 +1,273 @@
+"""Tumbling rollup + retention cascade.
+
+Scale design (the part that matters at 10^12 sequences / 100 TB):
+
+* Each doc's tokens live in ONE array cell, so tier-1 windows are computed
+  WITHOUT any shuffle — a narrow projection using higher-order functions
+  (``transform`` over a window spine + one sequential ``aggregate`` per
+  window slice), or a vectorized numpy kernel in ``mapInPandas``. The raw
+  tokens never cross an exchange.
+* The cascade (tier k → k+1) is ALSO computed inside the same row before
+  exploding: re-aggregation identities min∘min / max∘max / Σ∘Σ / Σcnt /
+  last∘last applied to the tier-k window array. So the entire 3-tier rollup
+  of 100 TB of tokens is one narrow map stage; only the (tiny) tier rows are
+  ever shuffled — and only if a later op asks for it.
+* ``rollup_long`` is the shuffle path for long-format inputs (post gap-fill):
+  a plain groupBy — Spark's partial aggregation does map-side combine, and
+  ``salted`` variants exist in operators/salted.py for skewed global keys.
+
+Exactness: int64 sums of int32 tokens; mean = one float64 division
+t_sum/t_cnt ⇒ bitwise-stable under any partitioning / strategy / tier path
+(matches oracle/rollup.py).
+
+Reference parity: tumbling-with-ragged-tail follows caits/windowing.py:188-202
+(``create_chunks``); the aggregate set is the exact-stat subset of
+caits/fe/_statistical.py (min :101, max :83, mean :49, length :161).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Literal
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..oracle.rollup import rollup_doc
+from ..schema import DEFAULT_FANOUT, DEFAULT_TIERS, DEFAULT_W, TIER_SCHEMA, tier_width
+
+_TIER_STRUCT = (
+    "named_struct('window_start', {ws}, 'mn', 2147483647, 'mx', -2147483648, "
+    "'sm', cast(0 as bigint), 'cnt', cast(0 as bigint), 'lst', 0)"
+)
+
+
+def _tier1_windows_expr(w: int, tokens: str = "tokens", n_tok: str = "n_tok") -> str:
+    """SQL expr: array<struct> of tier-1 windows from the raw token array.
+
+    One sequential fold per window slice — O(n) total, no shuffle.
+    Requires n_tok >= 1 (guaranteed by datagen; guard with a filter upstream
+    for foreign inputs).
+    """
+    init = _TIER_STRUCT.format(ws=f"cast(wi as bigint) * {w}")
+    return f"""
+    transform(
+      sequence(0, cast(ceil({n_tok} / {w}.0) as int) - 1),
+      wi -> aggregate(
+        slice({tokens}, wi * {w} + 1, {w}),
+        {init},
+        (acc, x) -> named_struct(
+          'window_start', acc.window_start,
+          'mn', least(acc.mn, x),
+          'mx', greatest(acc.mx, x),
+          'sm', acc.sm + x,
+          'cnt', acc.cnt + cast(1 as bigint),
+          'lst', x))
+    )"""
+
+
+def _next_tier_windows_expr(prev_col: str, fanout: int, width: int) -> str:
+    """SQL expr: tier k+1 window array from tier k window array (same row)."""
+    init = _TIER_STRUCT.format(ws=f"cast(wi as bigint) * {width}")
+    return f"""
+    transform(
+      sequence(0, cast(ceil(size({prev_col}) / {fanout}.0) as int) - 1),
+      wi -> aggregate(
+        slice({prev_col}, wi * {fanout} + 1, {fanout}),
+        {init},
+        (acc, s) -> named_struct(
+          'window_start', acc.window_start,
+          'mn', least(acc.mn, s.mn),
+          'mx', greatest(acc.mx, s.mx),
+          'sm', acc.sm + s.sm,
+          'cnt', acc.cnt + s.cnt,
+          'lst', s.lst))
+    )"""
+
+
+def _explode_tier(df: DataFrame, windows_col: str, tier: int) -> DataFrame:
+    w = F.explode(F.col(windows_col)).alias("w")
+    return df.select("doc_id", "source", w).select(
+        "doc_id",
+        "source",
+        F.lit(tier).cast("int").alias("tier"),
+        F.col("w.window_start").alias("window_start"),
+        F.col("w.mn").alias("t_min"),
+        F.col("w.mx").alias("t_max"),
+        F.col("w.sm").alias("t_sum"),
+        F.col("w.cnt").alias("t_cnt"),
+        F.col("w.lst").alias("t_last"),
+        (F.col("w.sm").cast("double") / F.col("w.cnt").cast("double")).alias("t_mean"),
+    )
+
+
+def rollup_native(df: DataFrame, w: int = DEFAULT_W, tier: int = 1) -> DataFrame:
+    """Tier rollup at width w via higher-order functions — narrow, JVM-side."""
+    width = w
+    dfw = df.withColumn("_w1", F.expr(_tier1_windows_expr(width)))
+    return _explode_tier(dfw, "_w1", tier)
+
+
+def cascade_native(
+    df: DataFrame,
+    w: int = DEFAULT_W,
+    fanout: int = DEFAULT_FANOUT,
+    tiers: int = DEFAULT_TIERS,
+) -> DataFrame:
+    """All retention tiers in one narrow pass; union of exploded tier rows.
+
+    Tier k+1 is derived from tier k's window array INSIDE the row — the
+    partial-aggregation identity the north_rule asks for, with zero shuffle.
+    """
+    dfw = df.withColumn("_t1", F.expr(_tier1_windows_expr(w)))
+    cols = ["_t1"]
+    for k in range(2, tiers + 1):
+        dfw = dfw.withColumn(
+            f"_t{k}", F.expr(_next_tier_windows_expr(f"_t{k-1}", fanout, tier_width(k, w, fanout)))
+        )
+        cols.append(f"_t{k}")
+    out = _explode_tier(dfw, "_t1", 1)
+    for k in range(2, tiers + 1):
+        out = out.unionByName(_explode_tier(dfw, f"_t{k}", k))
+    return out
+
+
+def cascade_pandas(
+    df: DataFrame,
+    w: int = DEFAULT_W,
+    fanout: int = DEFAULT_FANOUT,
+    tiers: int = DEFAULT_TIERS,
+) -> DataFrame:
+    """All tiers via one vectorized numpy kernel in mapInPandas (Arrow).
+
+    Same narrow topology as cascade_native; the per-doc kernel is the oracle
+    itself (np.add/minimum/maximum.reduceat), so parity is structural.
+    """
+    widths = [tier_width(k, w, fanout) for k in range(1, tiers + 1)]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                toks = np.asarray(row.tokens, dtype=np.int32)
+                for k, width in enumerate(widths, start=1):
+                    r = rollup_doc(toks, width)
+                    m = len(r["window_start"])
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "doc_id": np.repeat(row.doc_id, m),
+                                "source": np.repeat(row.source, m),
+                                "tier": np.full(m, k, dtype=np.int32),
+                                "window_start": r["window_start"],
+                                "t_min": r["t_min"],
+                                "t_max": r["t_max"],
+                                "t_sum": r["t_sum"],
+                                "t_cnt": r["t_cnt"],
+                                "t_last": r["t_last"],
+                                "t_mean": r["t_mean"],
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return df.mapInPandas(kernel, schema=TIER_SCHEMA)
+
+
+def rollup_long(
+    df_long: DataFrame,
+    w: int = DEFAULT_W,
+    tier: int = 1,
+    value: str = "value",
+) -> DataFrame:
+    """Tumbling rollup over long format (doc_id, source, offset, value).
+
+    The shuffle path (one exchange on (doc_id, window)); Spark's partial
+    hash aggregation combines map-side so the exchange carries only window
+    rows, not samples. Used after gap-fill and as a cross-check of the
+    narrow paths.
+    """
+    win = (F.col("offset") / F.lit(w)).cast("long")
+    g = (
+        df_long.filter(F.col(value).isNotNull())
+        .groupBy("doc_id", "source", (win * w).alias("window_start"))
+        .agg(
+            F.min(value).alias("t_min"),
+            F.max(value).alias("t_max"),
+            F.sum(F.col(value).cast("long")).alias("t_sum"),
+            F.count(value).alias("t_cnt"),
+            F.max_by(value, "offset").alias("t_last"),
+        )
+    )
+    return g.select(
+        "doc_id",
+        "source",
+        F.lit(tier).cast("int").alias("tier"),
+        "window_start",
+        "t_min",
+        "t_max",
+        "t_sum",
+        "t_cnt",
+        "t_last",
+        (F.col("t_sum").cast("double") / F.col("t_cnt").cast("double")).alias("t_mean"),
+    )
+
+
+def cascade_from_tier(
+    tier_df: DataFrame,
+    from_tier: int,
+    w: int = DEFAULT_W,
+    fanout: int = DEFAULT_FANOUT,
+) -> DataFrame:
+    """Re-aggregate tier k rows into tier k+1 rows via groupBy.
+
+    The relational form of the partial-agg identities — used by the
+    incremental/checkpointed job where tier k already sits in storage.
+    """
+    width_next = tier_width(from_tier + 1, w, fanout)
+    win = (F.col("window_start") / F.lit(width_next)).cast("long")
+    g = (
+        tier_df.filter(F.col("tier") == from_tier)
+        .withColumn("_ws_next", win * width_next)
+        .groupBy("doc_id", "source", "_ws_next")
+        .agg(
+            F.min("t_min").alias("t_min"),
+            F.max("t_max").alias("t_max"),
+            F.sum("t_sum").alias("t_sum"),
+            F.sum("t_cnt").alias("t_cnt"),
+            F.max_by("t_last", "window_start").alias("t_last"),
+        )
+    )
+    return g.select(
+        "doc_id",
+        "source",
+        F.lit(from_tier + 1).cast("int").alias("tier"),
+        F.col("_ws_next").alias("window_start"),
+        "t_min",
+        "t_max",
+        "t_sum",
+        "t_cnt",
+        "t_last",
+        (F.col("t_sum").cast("double") / F.col("t_cnt").cast("double")).alias("t_mean"),
+    )
+
+
+def full_windows_only(tier_df: DataFrame, w: int = DEFAULT_W, fanout: int = DEFAULT_FANOUT) -> DataFrame:
+    """The reference's full-windows-only mode (caits/windowing.py:40-44):
+    drop ragged tails — a post-filter thanks to exact t_cnt."""
+    widths = F.lit(w) * F.pow(F.lit(fanout), F.col("tier") - 1).cast("long")
+    return tier_df.filter(F.col("t_cnt") == widths)
+
+
+Strategy = Literal["native", "pandas"]
+
+
+def cascade(df: DataFrame, strategy: Strategy = "native", **kw) -> DataFrame:
+    if strategy == "native":
+        return cascade_native(df, **kw)
+    if strategy == "pandas":
+        return cascade_pandas(df, **kw)
+    raise ValueError(f"unknown strategy {strategy!r}")

@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for the rollup engine.
+
+Local-mode defaults follow the public Spark tuning guidance: shuffle
+partitions ~ cores (not 200), AQE + skew-join on, Arrow for every pandas UDF
+boundary, UTC session timezone so timestamps compare cleanly against DuckDB
+oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "crossai_ts_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    master defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default all cores).
+    In cluster mode pass master=None and let spark-submit supply it.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(8, int(cpus))
+        except ValueError:
+            shuffle_partitions = max(8, os.cpu_count() or 8)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # tokens arrays up to 64 KiB/row: keep scan splits reasonable
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    if master:
+        b = b.master(master)
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,103 @@
+"""Rollup + cascade vs the numpy oracle — bitwise equality per tier.
+
+north_rule: every rolled-up point must bitwise-match the reference
+implementation's expected rollups per retention tier.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from crossai_ts_spark.operators.rollup import (
+    cascade_from_tier,
+    cascade_native,
+    cascade_pandas,
+    full_windows_only,
+    rollup_long,
+    rollup_native,
+)
+from crossai_ts_spark.oracle.rollup import cascade_oracle, rollup_frame
+
+KEY = ["doc_id", "tier", "window_start"]
+W, FANOUT, TIERS = 64, 8, 3  # fanout 8 so tier3 (W*64=4096) is exercised by tiny docs
+
+
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.sort_values(KEY).reset_index(drop=True)[
+        ["doc_id", "source", "tier", "window_start", "t_min", "t_max", "t_sum", "t_cnt", "t_last", "t_mean"]
+    ]
+
+
+def assert_bitwise(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame):
+    a, b = canon(spark_pdf), canon(oracle_pdf)
+    assert len(a) == len(b), f"row count {len(a)} != {len(b)}"
+    for c in ["doc_id", "source", "tier", "window_start", "t_min", "t_max", "t_sum", "t_cnt", "t_last"]:
+        assert a[c].tolist() == b[c].tolist(), f"mismatch in {c}"
+    # bitwise float comparison for the mean (the north_rule criterion)
+    av = a["t_mean"].to_numpy().view(np.int64)
+    bv = b["t_mean"].to_numpy().view(np.int64)
+    assert (av == bv).all(), "t_mean not bitwise-identical"
+
+
+def test_rollup_native_matches_oracle(spark, tiny_df, tiny_docs):
+    got = rollup_native(tiny_df, w=W).toPandas()
+    exp = rollup_frame(tiny_docs, W, tier=1)
+    assert_bitwise(got, exp)
+
+
+@pytest.mark.parametrize("strategy", ["native", "pandas"])
+def test_cascade_matches_oracle(spark, tiny_df, tiny_docs, strategy):
+    fn = cascade_native if strategy == "native" else cascade_pandas
+    got = fn(tiny_df, w=W, fanout=FANOUT, tiers=TIERS).toPandas()
+    exp = cascade_oracle(tiny_docs, w=W, fanout=FANOUT, tiers=TIERS)
+    assert_bitwise(got, exp)
+
+
+def test_cascade_from_tier_identity(spark, tiny_df, tiny_docs):
+    """groupBy re-aggregation of tier1 == direct tier2 from raw (partial-agg identity)."""
+    t1 = rollup_native(tiny_df, w=W, tier=1)
+    t2 = cascade_from_tier(t1, from_tier=1, w=W, fanout=FANOUT).toPandas()
+    exp = cascade_oracle(tiny_docs, w=W, fanout=FANOUT, tiers=2)
+    assert_bitwise(t2, exp[exp.tier == 2])
+
+
+def test_rollup_long_matches_native(spark, tiny_df):
+    """Shuffle path == narrow path (partitioning invariance)."""
+    from pyspark.sql import functions as F
+
+    long_df = tiny_df.select(
+        "doc_id", "source", F.posexplode("tokens").alias("offset", "value")
+    ).select("doc_id", "source", F.col("offset").cast("long").alias("offset"), "value")
+    got = rollup_long(long_df, w=W).toPandas()
+    exp = rollup_native(tiny_df, w=W).toPandas()
+    assert_bitwise(got, exp)
+
+
+def test_partition_count_invariance(spark, tiny_df, tiny_docs):
+    """Same bitwise result at 1 and 13 partitions (north_rule §4.3)."""
+    exp = cascade_oracle(tiny_docs, w=W, fanout=FANOUT, tiers=TIERS)
+    for n in (1, 13):
+        got = cascade_native(tiny_df.repartition(n), w=W, fanout=FANOUT, tiers=TIERS).toPandas()
+        assert_bitwise(got, exp)
+
+
+def test_boundary_docs(spark, tiny_df):
+    """FIXTURES F1 pinned docs: window counts at W=64."""
+    got = rollup_native(tiny_df, w=64).toPandas()
+    cnt = got.groupby("doc_id").size()
+    assert cnt["doc-bnd-0000"] == 1  # n=1
+    assert cnt["doc-bnd-0001"] == 1  # n=63 → one ragged window
+    assert cnt["doc-bnd-0002"] == 1  # n=64 → exactly one
+    assert cnt["doc-bnd-0003"] == 2  # n=65 → ragged tail kept
+    assert cnt["doc-bnd-0004"] == 64  # n=4096
+    tail = got[(got.doc_id == "doc-bnd-0003") & (got.window_start == 64)]
+    assert tail.t_cnt.iloc[0] == 1
+
+
+def test_full_windows_only_filter(spark, tiny_df):
+    got = full_windows_only(rollup_native(tiny_df, w=64), w=64, fanout=FANOUT).toPandas()
+    cnt = got.groupby("doc_id").size()
+    assert "doc-bnd-0001" not in cnt.index  # n=63: no full window
+    assert cnt["doc-bnd-0003"] == 1  # tail dropped
