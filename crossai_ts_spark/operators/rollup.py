@@ -106,7 +106,7 @@ def _explode_tier(df: DataFrame, windows_col: str, tier: int) -> DataFrame:
 def rollup_native(df: DataFrame, w: int = DEFAULT_W, tier: int = 1) -> DataFrame:
     """Tier rollup at width w via higher-order functions — narrow, JVM-side."""
     width = w
-    dfw = df.withColumn("_w1", F.expr(_tier1_windows_expr(width)))
+    dfw = df.filter(F.col("n_tok") > 0).withColumn("_w1", F.expr(_tier1_windows_expr(width)))
     return _explode_tier(dfw, "_w1", tier)
 
 
@@ -121,7 +121,7 @@ def cascade_native(
     Tier k+1 is derived from tier k's window array INSIDE the row — the
     partial-aggregation identity the north_rule asks for, with zero shuffle.
     """
-    dfw = df.withColumn("_t1", F.expr(_tier1_windows_expr(w)))
+    dfw = df.filter(F.col("n_tok") > 0).withColumn("_t1", F.expr(_tier1_windows_expr(w)))
     cols = ["_t1"]
     for k in range(2, tiers + 1):
         dfw = dfw.withColumn(

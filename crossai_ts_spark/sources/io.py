@@ -1,0 +1,60 @@
+"""Storage layer: Iceberg when its runtime jar is on the classpath,
+partitioned parquet otherwise — one interface either way (SURVEY §7.1).
+
+The sandbox image has no Iceberg jar, so the parquet path is first-class:
+identical schema, hive-style ``tier=K/bucket=B`` layout (partition pruning
+on both columns), and atomic per-partition commits via temp-dir + rename
+used by plans/checkpoint.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, location: str) -> DataFrame:
+    """Read a table: ``iceberg:catalog.db.tbl`` or a parquet path/dir."""
+    if location.startswith("iceberg:"):
+        return spark.read.format("iceberg").load(location[len("iceberg:") :])
+    return spark.read.parquet(location)
+
+
+def write_table(
+    df: DataFrame,
+    location: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    if location.startswith("iceberg:"):
+        tbl = location[len("iceberg:") :]
+        if mode == "append":
+            df.writeTo(tbl).append()
+        else:
+            df.writeTo(tbl).createOrReplace()
+        return
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(location)
+
+
+def read_sequences(spark: SparkSession, location: str) -> DataFrame:
+    """Input_hint table (doc_id, tokens, n_tok, source) from storage."""
+    df = read_table(spark, location)
+    return df.select("doc_id", "tokens", "n_tok", "source")
+
+
+def ensure_dir(path: str) -> None:
+    os.makedirs(path, exist_ok=True)
