@@ -1,0 +1,104 @@
+"""Benchmark entry point (driver-run, one JSON line on stdout).
+
+Two workloads:
+  1. ROLLUP (the BASELINE.json headline): deterministic synthetic sequences
+     table (datagen, no external data) -> 3-tier retention cascade ->
+     count(*) action per tier path; reports sequences/sec + tokens/sec.
+  2. Headline relational queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
+     (default /root/testdata/sf0.1), each timed to completion.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (local[N]),
+BENCH_DOCS (synthetic corpus size, default 2000), BENCH_STRATEGY.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from crossai_ts_spark.datagen import gen_sequences
+from crossai_ts_spark.operators.rollup import cascade
+from crossai_ts_spark.session import get_spark
+
+HEADLINE_QUERIES = [
+    "rollup_tier1",
+    "rollup_tier2_cascade",
+    "rollup_source_windows",
+    "gapfill_linear",
+    "islands",
+    "sessionization",
+    "stats_composite",
+    "tpch_q1_exact",
+    "outlier_zscore",
+    "ann_cosine_topk",
+    "dedup_exact",
+    "codec_roundtrip",
+]
+
+
+def bench_rollup(spark, n_docs: int, strategy: str) -> dict:
+    seqs = gen_sequences(spark, n_docs=n_docs, seed=42).cache()
+    n_seq = seqs.count()  # materialize input so rollup timing excludes datagen
+    n_tokens = int(seqs.selectExpr("sum(cast(n_tok as bigint)) s").collect()[0].s)
+
+    t0 = time.monotonic()
+    tiers = cascade(seqs, strategy=strategy, w=64, fanout=64, tiers=3)
+    per_tier = {int(r.tier): int(r.n) for r in tiers.groupBy("tier").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")).collect()}
+    wall = time.monotonic() - t0
+    seqs.unpersist()
+    return {
+        "n_docs": n_seq,
+        "n_tokens": n_tokens,
+        "strategy": strategy,
+        "wall_sec": wall,
+        "rows_per_tier": per_tier,
+        "sequences_per_sec": n_seq / wall,
+        "tokens_per_sec": n_tokens / wall,
+    }
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_docs = int(os.environ.get("BENCH_DOCS", "2000"))
+    strategy = os.environ.get("BENCH_STRATEGY", "pandas")
+    spark = get_spark(app_name="bench")
+
+    rollup = bench_rollup(spark, n_docs, strategy)
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    q_secs: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.monotonic()
+        try:
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as ex:  # keep the bench alive; a failed query shows as -1
+            print(f"[bench] {name} failed: {ex}", file=sys.stderr)
+            q_secs[name] = -1.0
+            continue
+        q_secs[name] = round(time.monotonic() - t0, 3)
+
+    sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
+    out = {
+        "metric": "rollup tokens/sec (3-tier cascade, synthetic sequences) + headline query secs",
+        "value": round(rollup["tokens_per_sec"], 1),
+        "unit": "tokens/sec",
+        "queries": q_secs,
+        "sf": sf,
+        "rollup": {k: (round(v, 2) if isinstance(v, float) else v) for k, v in rollup.items()},
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -72,12 +72,15 @@ WITH ev AS (
 
 
 def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parquet reads ts as TIMESTAMP_NTZ; session TZ is UTC so the cast
+    # interprets the naive value exactly like DuckDB's epoch_us
+    ts = F.col("ts").cast("timestamp")
     return load(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
         "event_type",
-        F.unix_micros("ts").alias("us"),
-        (F.unix_micros("ts") / F.lit(60000000)).cast("long").alias("minute"),
+        F.unix_micros(ts).alias("us"),
+        (F.unix_micros(ts) / F.lit(60000000)).cast("long").alias("minute"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
 
@@ -92,7 +95,7 @@ def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL_PTS
     + """
 SELECT doc_id, source, n_tok,
-       MIN(tok) AS t_min, MAX(tok) AS t_max, SUM(tok) AS t_sum,
+       MIN(tok) AS t_min, MAX(tok) AS t_max, SUM(tok)::BIGINT AS t_sum,
        arg_max(tok, off) AS t_last
 FROM pts GROUP BY doc_id, source, n_tok
 """,
@@ -115,7 +118,7 @@ _ROLLUP_SQL = (
     SQL_PTS
     + """
 SELECT doc_id, source, (off // {w}) * {w} AS window_start,
-       MIN(tok) AS t_min, MAX(tok) AS t_max, SUM(tok) AS t_sum,
+       MIN(tok) AS t_min, MAX(tok) AS t_max, SUM(tok)::BIGINT AS t_sum,
        COUNT(*)::BIGINT AS t_cnt, arg_max(tok, off) AS t_last,
        SUM(tok)::DOUBLE / COUNT(*)::DOUBLE AS t_mean
 FROM pts GROUP BY doc_id, source, (off // {w}) * {w}
@@ -157,7 +160,7 @@ def rollup_tier2_cascade(spark, sf_dir):
     SQL_PTS
     + """
 SELECT source, (off // 32) * 32 AS window_start,
-       MIN(tok) AS t_min, MAX(tok) AS t_max, SUM(tok) AS t_sum,
+       MIN(tok) AS t_min, MAX(tok) AS t_max, SUM(tok)::BIGINT AS t_sum,
        COUNT(*)::BIGINT AS t_cnt,
        SUM(tok)::DOUBLE / COUNT(*)::DOUBLE AS t_mean
 FROM pts GROUP BY source, (off // 32) * 32
@@ -245,7 +248,7 @@ def chunks(spark, sf_dir):
   GROUP BY w.doc_id, w.wstart
 )
 SELECT doc_id, COUNT(*)::BIGINT AS n_windows,
-       SUM(wsum) AS sum_of_sums, MIN(wmin) AS min_of_mins
+       SUM(wsum)::BIGINT AS sum_of_sums, MIN(wmin) AS min_of_mins
 FROM wagg GROUP BY doc_id
 """,
 )
@@ -276,7 +279,7 @@ def sliding_windows(spark, sf_dir):
     "resample_zoh",
     SQL_PTS
     + """
-SELECT doc_id, COUNT(*)::BIGINT AS n_samples, SUM(tok) AS sample_sum
+SELECT doc_id, COUNT(*)::BIGINT AS n_samples, SUM(tok)::BIGINT AS sample_sum
 FROM pts WHERE off % 4 = 0 GROUP BY doc_id
 """,
 )
@@ -388,16 +391,22 @@ def dedup_exact(spark, sf_dir):
 ), joined AS (
   SELECT s.user_id, s.minute, o.cents FROM spine s
   LEFT JOIN obs o ON o.user_id = s.user_id AND o.minute = s.minute
+), filled AS (
+  SELECT user_id, minute,
+         last_value(cents IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY minute
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+  FROM joined
 )
-SELECT user_id, minute,
-       last_value(cents IGNORE NULLS)
-         OVER (PARTITION BY user_id ORDER BY minute
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
-FROM joined
+SELECT user_id, COUNT(*)::BIGINT AS n_points,
+       SUM(CASE WHEN filled IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       SUM(COALESCE(filled, 0))::BIGINT AS chk
+FROM filled GROUP BY user_id
 """,
 )
 def gapfill_locf(spark, sf_dir):
-    """LOCF gap-fill on a per-user minute grid (caits zero-order-hold)."""
+    """LOCF gap-fill on a per-user minute grid (caits zero-order-hold),
+    verified by per-user exact checksums (dense output stays distributed)."""
     ev = _ev(spark, sf_dir)
     obs = ev.groupBy("user_id", "minute").agg(F.max("cents").alias("cents"))
     bounds = obs.groupBy("user_id").agg(F.min("minute").alias("mn"), F.max("minute").alias("mx"))
@@ -406,8 +415,13 @@ def gapfill_locf(spark, sf_dir):
     )
     joined = spine.join(obs, ["user_id", "minute"], "left")
     w = Window.partitionBy("user_id").orderBy("minute").rowsBetween(Window.unboundedPreceding, 0)
-    return joined.select(
+    filled = joined.select(
         "user_id", "minute", F.last("cents", ignorenulls=True).over(w).alias("filled")
+    )
+    return filled.groupBy("user_id").agg(
+        F.count("*").alias("n_points"),
+        F.sum(F.when(F.col("filled").isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+        F.sum(F.coalesce("filled", F.lit(0))).cast("long").alias("chk"),
     )
 
 
@@ -440,18 +454,26 @@ def gapfill_locf(spark, sf_dir):
             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxo
   FROM joined
 )
-SELECT user_id, minute,
-       CASE WHEN v IS NOT NULL THEN v
-            WHEN pv IS NULL THEN nv
-            WHEN nv IS NULL THEN pv
-            ELSE pv + (nv - pv) / (nxo::DOUBLE - po::DOUBLE)
-                      * (minute::DOUBLE - po::DOUBLE)
-       END AS filled
-FROM anch
+, lin AS (
+  SELECT user_id, minute,
+         CASE WHEN v IS NOT NULL THEN v
+              WHEN pv IS NULL THEN nv
+              WHEN nv IS NULL THEN pv
+              ELSE pv + (nv - pv) / (nxo::DOUBLE - po::DOUBLE)
+                        * (minute::DOUBLE - po::DOUBLE)
+         END AS filled
+  FROM anch
+)
+SELECT user_id, COUNT(*)::BIGINT AS n_points,
+       SUM(CAST(floor(filled * 1024.0) AS BIGINT))::BIGINT AS chk
+FROM lin GROUP BY user_id
 """,
 )
 def gapfill_linear(spark, sf_dir):
-    """Linear-interp gap-fill (np.interp semantics, caits/preprocessing.py:55)."""
+    """Linear-interp gap-fill (np.interp semantics, caits/preprocessing.py:55),
+    per-user exact checksum: floor(filled*1024) is an identical integer in
+    both engines because every `filled` double is produced by the same IEEE
+    expression."""
     from .operators.gapfill import gapfill_linear as gl
 
     ev = _ev(spark, sf_dir)
@@ -463,10 +485,9 @@ def gapfill_linear(spark, sf_dir):
     bounds = obs.groupBy("doc_id").agg(F.min("offset").alias("mn"), F.max("offset").alias("mx"))
     spine = bounds.select("doc_id", F.explode(F.sequence("mn", "mx")).alias("offset"))
     out = gl(obs, spine)
-    return out.select(
-        F.col("doc_id").cast("long").alias("user_id"),
-        F.col("offset").alias("minute"),
-        F.col("filled"),
+    return out.groupBy(F.col("doc_id").cast("long").alias("user_id")).agg(
+        F.count("*").alias("n_points"),
+        F.sum(F.floor(F.col("filled") * 1024.0).cast("long")).cast("long").alias("chk"),
     )
 
 
@@ -487,7 +508,7 @@ SQL_SEQ = SQL_EV + """
   FROM seqd WHERE cents > 15000
 )
 SELECT user_id, MIN(seq)::BIGINT AS island_start, COUNT(*)::BIGINT AS n_events,
-       SUM(cents) AS island_sum
+       SUM(cents)::BIGINT AS island_sum
 FROM hot GROUP BY user_id, grp
 """,
 )
@@ -637,7 +658,7 @@ def interval_iou(spark, sf_dir):
   SELECT user_id, sid, COUNT(*)::BIGINT AS n FROM sess GROUP BY user_id, sid
 )
 SELECT user_id, COUNT(*)::BIGINT AS n_sessions,
-       SUM(n) AS n_events,
+       SUM(n)::BIGINT AS n_events,
        SUM(n)::DOUBLE / COUNT(*)::DOUBLE AS events_per_session
 FROM per GROUP BY user_id
 """,
@@ -742,7 +763,7 @@ def zcr_user(spark, sf_dir):
     SQL_EV
     + """
 , per AS (
-  SELECT user_id, minute, SUM(cents) AS total FROM ev GROUP BY user_id, minute
+  SELECT user_id, minute, SUM(cents)::BIGINT AS total FROM ev GROUP BY user_id, minute
 ), rk AS (
   SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY total DESC, minute) AS r
   FROM per
@@ -760,4 +781,457 @@ def dominant_minute(spark, sf_dir):
         per.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") == 1)
         .select("user_id", F.col("minute").alias("peak_minute"), F.col("total").alias("peak_total"))
+    )
+
+
+# =====================================================================
+# C. Lineitem family (statistical aggregates, outliers, Q1)
+# =====================================================================
+
+# exact integer views of lineitem: quantity integral; prices in cents
+SQL_LI = """
+WITH li AS (
+  SELECT l_orderkey, l_partkey, l_returnflag, l_linestatus, l_shipdate,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p_c,
+         CAST(round(l_discount * 100) AS BIGINT) AS d_c,
+         CAST(round(l_tax * 100) AS BIGINT) AS t_c
+  FROM lineitem
+)
+"""
+
+
+def _li(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p_c"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d_c"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("t_c"),
+    )
+
+
+@q(
+    "stats_composite",
+    SQL_LI
+    + """
+, s AS (
+  SELECT l_returnflag, COUNT(*)::BIGINT AS n,
+         MIN(q) AS mn, MAX(q) AS mx, SUM(q)::BIGINT AS s1,
+         SUM(q * q) AS s2, SUM(q * q * q) AS s3, SUM(q * q * q * q) AS s4
+  FROM li GROUP BY l_returnflag
+)
+SELECT l_returnflag, n, mn, mx, s1,
+       s1::DOUBLE / n::DOUBLE AS mean,
+       sqrt(s2::DOUBLE / n::DOUBLE) AS rms,
+       s2::BIGINT AS energy,
+       s2::DOUBLE / n::DOUBLE AS avg_power,
+       mx::DOUBLE / sqrt(s2::DOUBLE / n::DOUBLE) AS crest_factor
+FROM s
+""",
+)
+def stats_composite(spark, sf_dir):
+    """signal_stats composite via exact integer power sums (caits
+    fe/_statistical.py:597-645: mean :49, rms :237, energy :424,
+    average_power :441, crest_factor :458). One groupBy, Catalyst CSE."""
+    li = _li(spark, sf_dir)
+    qc = F.col("q")
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.min(qc).alias("mn"),
+        F.max(qc).alias("mx"),
+        F.sum(qc).alias("s1"),
+        F.sum(qc * qc).alias("s2"),
+        F.sum(qc * qc * qc).alias("s3"),
+        F.sum(qc * qc * qc * qc).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    return g.select(
+        "l_returnflag",
+        "n",
+        "mn",
+        "mx",
+        "s1",
+        (F.col("s1").cast("double") / n).alias("mean"),
+        F.sqrt(F.col("s2").cast("double") / n).alias("rms"),
+        F.col("s2").alias("energy"),
+        (F.col("s2").cast("double") / n).alias("avg_power"),
+        (F.col("mx").cast("double") / F.sqrt(F.col("s2").cast("double") / n)).alias("crest_factor"),
+    )
+
+
+@q(
+    "moments",
+    SQL_LI
+    + """
+, s AS (
+  SELECT l_returnflag, COUNT(*)::BIGINT AS n, SUM(q) AS s1, SUM(q*q) AS s2,
+         SUM(q*q*q) AS s3, SUM(q*q*q*q) AS s4
+  FROM li GROUP BY l_returnflag
+), m AS (
+  SELECT l_returnflag, n,
+         s1::DOUBLE / n::DOUBLE AS m1,
+         s2::DOUBLE / n::DOUBLE AS m2r,
+         s3::DOUBLE / n::DOUBLE AS m3r,
+         s4::DOUBLE / n::DOUBLE AS m4r
+  FROM s
+)
+SELECT l_returnflag, n, m1,
+       m2r - m1 * m1 AS m2,
+       m3r - 3.0 * m1 * m2r + 2.0 * m1 * m1 * m1 AS m3,
+       m4r - 4.0 * m1 * m3r + 6.0 * m1 * m1 * m2r - 3.0 * m1 * m1 * m1 * m1 AS m4
+FROM m
+""",
+)
+def moments(spark, sf_dir):
+    """Central moments m1..m4 from raw power sums (caits central_moments,
+    fe/_statistical.py:189-233) — identical float expression both engines."""
+    li = _li(spark, sf_dir)
+    qc = F.col("q")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(qc).alias("s1"),
+        F.sum(qc * qc).alias("s2"),
+        F.sum(qc * qc * qc).alias("s3"),
+        F.sum(qc * qc * qc * qc).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / n
+    m2r = F.col("s2").cast("double") / n
+    m3r = F.col("s3").cast("double") / n
+    m4r = F.col("s4").cast("double") / n
+    return s.select(
+        "l_returnflag",
+        "n",
+        m1.alias("m1"),
+        (m2r - m1 * m1).alias("m2"),
+        (m3r - F.lit(3.0) * m1 * m2r + F.lit(2.0) * m1 * m1 * m1).alias("m3"),
+        (
+            m4r
+            - F.lit(4.0) * m1 * m3r
+            + F.lit(6.0) * m1 * m1 * m2r
+            - F.lit(3.0) * m1 * m1 * m1 * m1
+        ).alias("m4"),
+    )
+
+
+@q(
+    "outlier_zscore",
+    SQL_LI
+    + """
+, s AS (
+  SELECT l_returnflag, COUNT(*)::BIGINT AS n, SUM(q) AS s1, SUM(q*q) AS s2
+  FROM li GROUP BY l_returnflag
+), st AS (
+  SELECT l_returnflag,
+         s1::DOUBLE / n::DOUBLE AS mu,
+         sqrt(s2::DOUBLE / n::DOUBLE - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)) AS sigma
+  FROM s
+)
+SELECT li.l_returnflag, COUNT(*)::BIGINT AS n_kept, SUM(q)::BIGINT AS kept_sum
+FROM li JOIN st ON li.l_returnflag = st.l_returnflag
+WHERE abs(q::DOUBLE - mu) <= 2.0 * sigma
+GROUP BY li.l_returnflag
+""",
+)
+def outlier_zscore(spark, sf_dir):
+    """Z-score outlier filter per class (caits filter_outliers,
+    eda/outliers_removal.py:8-26): grouped stats broadcast-joined back."""
+    li = _li(spark, sf_dir)
+    qc = F.col("q")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.sum(qc).alias("s1"), F.sum(qc * qc).alias("s2")
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / n
+    sigma = F.sqrt(F.col("s2").cast("double") / n - mu * mu)
+    st = s.select("l_returnflag", mu.alias("mu"), sigma.alias("sigma"))
+    j = li.join(F.broadcast(st), "l_returnflag")
+    return (
+        j.filter(F.abs(F.col("q").cast("double") - F.col("mu")) <= 2.0 * F.col("sigma"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_kept"), F.sum("q").alias("kept_sum"))
+    )
+
+
+@q(
+    "outlier_iqr",
+    SQL_LI
+    + """
+, s AS (
+  SELECT l_returnflag,
+         quantile_cont(q, 0.25) AS q1, quantile_cont(q, 0.75) AS q3
+  FROM li GROUP BY l_returnflag
+)
+SELECT li.l_returnflag, COUNT(*)::BIGINT AS n_kept, SUM(q)::BIGINT AS kept_sum
+FROM li JOIN s ON li.l_returnflag = s.l_returnflag
+WHERE q::DOUBLE >= q1 - 1.5 * (q3 - q1) AND q::DOUBLE <= q3 + 1.5 * (q3 - q1)
+GROUP BY li.l_returnflag
+""",
+)
+def outlier_iqr(spark, sf_dir):
+    """IQR outlier filter (caits filter_outliers IQR branch,
+    eda/outliers_removal.py:29-55); exact `percentile` (linear interp, same
+    definition as DuckDB quantile_cont)."""
+    li = _li(spark, sf_dir)
+    s = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(q, 0.25)").alias("q1"),
+        F.expr("percentile(q, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    j = li.join(F.broadcast(s), "l_returnflag")
+    return (
+        j.filter(
+            (F.col("q").cast("double") >= F.col("q1") - 1.5 * iqr)
+            & (F.col("q").cast("double") <= F.col("q3") + 1.5 * iqr)
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_kept"), F.sum("q").alias("kept_sum"))
+    )
+
+
+@q(
+    "correlation",
+    SQL_LI
+    + """
+, s AS (
+  SELECT l_returnflag, COUNT(*)::BIGINT AS n,
+         SUM(q) AS sx, SUM(q*q) AS sxx,
+         SUM(d_c) AS sy, SUM(d_c*d_c) AS syy, SUM(q*d_c) AS sxy
+  FROM li GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (n*sxy - sx*sy)::DOUBLE
+         / (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)) AS corr_q_disc
+FROM s
+""",
+)
+def correlation(spark, sf_dir):
+    """Pearson correlation from exact integer sums (caits corr,
+    eda/correlation.py:35-65) — avoids engine-specific corr() kernels."""
+    li = _li(spark, sf_dir)
+    x, y = F.col("q"), F.col("d_c")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "syy", "sxy"])
+    corr = (n * sxy - sx * sy).cast("double") / (
+        F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt((n * syy - sy * sy).cast("double"))
+    )
+    return s.select("l_returnflag", "n", corr.alias("corr_q_disc"))
+
+
+@q(
+    "tpch_q1_exact",
+    SQL_LI
+    + """
+SELECT l_returnflag, l_linestatus,
+       SUM(q)::BIGINT AS sum_qty,
+       SUM(p_c)::BIGINT AS sum_base_cents,
+       SUM(p_c * (100 - d_c))::BIGINT AS sum_disc_cents2,
+       SUM(p_c * (100 - d_c) * (100 + t_c))::BIGINT AS sum_charge_cents3,
+       SUM(q)::DOUBLE / COUNT(*)::DOUBLE AS avg_qty,
+       COUNT(*)::BIGINT AS count_order
+FROM li
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1_exact(spark, sf_dir):
+    """TPC-H Q1 in exact cents-integer arithmetic (headline relational agg)."""
+    li = _li(spark, sf_dir).filter(
+        F.col("l_shipdate").cast("timestamp") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("q").alias("sum_qty"),
+        F.sum("p_c").alias("sum_base_cents"),
+        F.sum(F.col("p_c") * (100 - F.col("d_c"))).alias("sum_disc_cents2"),
+        F.sum(F.col("p_c") * (100 - F.col("d_c")) * (100 + F.col("t_c"))).alias("sum_charge_cents3"),
+        (F.sum("q").cast("double") / F.count("*").cast("double")).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@q(
+    "topk_per_group",
+    """
+WITH rk AS (
+  SELECT o_custkey, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total_c,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY round(o_totalprice * 100) DESC, o_orderkey) AS r
+  FROM orders
+)
+SELECT o_custkey, r AS rank, o_orderkey, total_c FROM rk WHERE r <= 2
+""",
+)
+def topk_per_group(spark, sf_dir):
+    """Top-K per group w/ deterministic tie-break (best-match pattern,
+    caits performance/detection.py:137-144)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("total_c")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("total_c"), "o_orderkey")
+    return (
+        o.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 2)
+        .select("o_custkey", F.col("r").cast("long").alias("rank"), "o_orderkey", "total_c")
+    )
+
+
+@q(
+    "anti_join_split",
+    """
+SELECT c.c_custkey, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def anti_join_split(spark, sf_dir):
+    """left_anti complement (caits np.setdiff1d in train_test_split,
+    dataset/_dataset/_array.py:304) — broadcast anti-join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_mktsegment")
+
+
+@q(
+    "union_distinct",
+    """
+SELECT COUNT(*)::BIGINT AS n FROM (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+  UNION
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+""",
+)
+def union_distinct(spark, sf_dir):
+    """union + distinct (caits concat/__add__, dataset/_convert.py:43)."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.union(b).distinct().agg(F.count("*").alias("n"))
+
+
+# =====================================================================
+# D. Embeddings (similarity search)
+# =====================================================================
+
+SQL_DOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), "
+    "(x, y) -> x + y)"
+)
+
+
+@q(
+    "embedding_norms",
+    f"""
+SELECT vec_id, label,
+       sqrt({SQL_DOT.format(a='embedding', b='embedding')}) AS l2_norm
+FROM embeddings
+""",
+)
+def embedding_norms(spark, sf_dir):
+    """L2 norms via sequential fold (identical order both engines)."""
+    e = load(spark, sf_dir, "embeddings")
+    dot = (
+        "aggregate(zip_with(embedding, embedding, "
+        "(x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (a, v) -> a + v)"
+    )
+    return e.select("vec_id", F.col("label").cast("int").alias("label"), F.sqrt(F.expr(dot)).alias("l2_norm"))
+
+
+@q(
+    "ann_cosine_topk",
+    f"""
+WITH qv AS (
+  SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+), pairs AS (
+  SELECT q.q_id, e.vec_id,
+         {SQL_DOT.format(a='q.qe', b='e.embedding')}
+           / (sqrt({SQL_DOT.format(a='q.qe', b='q.qe')})
+              * sqrt({SQL_DOT.format(a='e.embedding', b='e.embedding')})) AS cos_sim
+  FROM qv q, embeddings e WHERE e.vec_id != q.q_id
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS r
+  FROM pairs
+)
+SELECT q_id, r AS rank, vec_id, cos_sim FROM rk WHERE r <= 5
+""",
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (similarity-search baseline): broadcast the
+    query set, JVM-side fold for the dot product, row_number top-k."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    pairs = F.broadcast(qv).crossJoin(e).filter(F.col("vec_id") != F.col("q_id"))
+    pairs = pairs.select(
+        "q_id",
+        "vec_id",
+        (
+            F.expr(dot.format(a="qe", b="embedding"))
+            / (
+                F.sqrt(F.expr(dot.format(a="qe", b="qe")))
+                * F.sqrt(F.expr(dot.format(a="embedding", b="embedding")))
+            )
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        pairs.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 5)
+        .select("q_id", F.col("r").cast("long").alias("rank"), "vec_id", "cos_sim")
+    )
+
+
+# =====================================================================
+# E. Non-SQL-expressible ops (rows-only driver check)
+# =====================================================================
+
+
+@q("codec_roundtrip", None)
+def codec_roundtrip(spark, sf_dir):
+    """Gorilla/ΔΔ round-trip invariant over tokenized docs (north_rule:
+    raw token arrays round-trip with exact equality)."""
+    from .functions.codecs import tokens_roundtrip_check
+
+    seqs = tokenize_documents(load(spark, sf_dir, "documents"))
+    res = tokens_roundtrip_check(seqs)
+    return res.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
+    )
+
+
+@q("compressed_tiers", None)
+def compressed_tiers(spark, sf_dir):
+    """Compressed tier segments: decode(encode(tier)) checked in tests;
+    here: segment inventory + compression ratio per tier."""
+    from .functions.codecs import compress_tiers
+
+    seqs = tokenize_documents(load(spark, sf_dir, "documents"))
+    tiers = cascade_native(seqs, w=32, fanout=8, tiers=2)
+    segs = compress_tiers(tiers)
+    return segs.groupBy("tier").agg(
+        F.count("*").alias("n_segments"),
+        F.sum("n_points").alias("n_points"),
+        F.sum(F.octet_length("ts_blob") + F.octet_length("val_blob")).alias("bytes_compressed"),
+        F.sum(F.col("n_points") * 16).alias("bytes_raw"),
     )

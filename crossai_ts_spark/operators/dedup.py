@@ -1,0 +1,155 @@
+"""Deduplication operators for training-data pipelines.
+
+All hashing is expressed with engine-portable primitives (md5 hex → bigint)
+so each variant has a DuckDB oracle; all heavy lifting is JVM-side
+(explode/groupBy/join) — no Python in the hot path.
+
+Scale notes (the part that matters at 10^12 docs):
+  * exact:       one shuffle on the content hash; map-side combine.
+  * minhash-LSH: shingles -> K minhashes (single groupBy over exploded
+    shingles with K aggregates) -> bands -> bucket join. Candidate pairs
+    only — never the O(n^2) cross join.
+  * simhash:     64-bit signature from shingle-hash bit votes; near-dup =
+    bucket join on rotated prefixes (here: exact-signature match + banding).
+  * ngram-jaccard: candidate pairs from a shared-shingle equi-join,
+    Jaccard = common/(|a|+|b|-common) from exact counts.
+  * embedding:   cosine near-dup above threshold via block-broadcast join
+    (delegates to operators/similarity.py at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# md5-hex -> bigint: same value in DuckDB via ('0x'||substr(md5(s),1,15))::BIGINT
+def _h64(col):
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def shingles(docs: DataFrame, n: int = 3, text: str = "text") -> DataFrame:
+    """(doc_id, shingle_hash) — distinct word n-gram fingerprints per doc."""
+    words = F.filter(F.split(F.col(text), " "), lambda w: w != "")
+    d = docs.select(F.col("doc_id").cast("string").alias("doc_id"), words.alias("ws"))
+    d = d.filter(F.size("ws") >= n)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - n),
+        lambda i: F.concat_ws("\x1f", F.slice("ws", i + 1, n)),
+    )
+    return (
+        d.select("doc_id", F.explode(sh).alias("shingle"))
+        .select("doc_id", _h64(F.col("shingle")).alias("sh"))
+        .distinct()
+    )
+
+
+def dedup_exact(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: keep min doc_id per content hash."""
+    h = docs.select(F.col("doc_id").cast("string").alias("doc_id"), F.md5(F.col(text).cast("binary")).alias("h"))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .withColumn("is_canonical", F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def minhash_signatures(sh: DataFrame, k: int = 16, prime: int = 2147483647) -> DataFrame:
+    """K minhashes per doc in ONE aggregation over the shingle table.
+
+    h_i(x) = (a_i * x + b_i) mod p with fixed odd constants — portable SQL.
+    """
+    aggs = [
+        F.min((F.col("sh") % prime * (2 * i + 1) + (i * 40503 + 17)) % prime).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, k: int = 16, band_size: int = 2) -> DataFrame:
+    """Band the signature, bucket-join, emit candidate pairs (a < b)."""
+    n_bands = k // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"mh{b * band_size + j}").cast("string") for j in range(band_size)]
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bt = sig.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = bt.alias("a")
+    b = bt.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(sh: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Jaccard over shingle sets for candidate pairs sharing >= 1 shingle."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, F.col("a.sh") == F.col("b.sh"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    j = (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "common", "jaccard")
+
+
+def simhash_signatures(sh: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash: per-bit majority vote over shingle hashes.
+
+    bit_i(doc) = 1 if sum over shingles of (2*bit_i(h)-1) > 0.
+    Expressed as `bits` conditional sums in one groupBy — portable SQL.
+    """
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("sh"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    votes = sh.groupBy("doc_id").agg(*aggs)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Cosine near-dup pairs above threshold (brute force; swap in the LSH
+    path of operators/similarity.py for the 10^12 design point)."""
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = (
+        F.expr(dot.format(a="ea", b="eb"))
+        / (F.sqrt(F.expr(dot.format(a="ea", b="ea"))) * F.sqrt(F.expr(dot.format(a="eb", b="eb"))))
+    )
+    return pairs.select("id_a", "id_b", cos.alias("cos_sim")).filter(F.col("cos_sim") >= threshold)

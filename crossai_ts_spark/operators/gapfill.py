@@ -66,16 +66,25 @@ def gapfill_linear(observed: DataFrame, spine: DataFrame, value: str = "value") 
     """
     df = _with_spine(observed, spine, value)
     v = F.col(value).cast("double")
+    # Both anchor scans are EXPANDING frames (unbounded preceding -> current),
+    # which Spark's WindowExec evaluates incrementally in O(n). The naive
+    # "current -> unbounded following" frame for the next anchor is O(n^2)
+    # per partition (full-frame rescan per row) — measured 9+ min on 42k-row
+    # partitions — so the forward scan runs over DESCENDING offset instead.
     wp = Window.partitionBy("doc_id").orderBy("offset").rowsBetween(Window.unboundedPreceding, 0)
-    wn = Window.partitionBy("doc_id").orderBy("offset").rowsBetween(0, Window.unboundedFollowing)
+    wn = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.desc("offset"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     df = df.select(
         "doc_id",
         "offset",
         v.alias("_v"),
         F.last(v, ignorenulls=True).over(wp).alias("_pv"),
         F.last(F.when(v.isNotNull(), F.col("offset")), ignorenulls=True).over(wp).alias("_po"),
-        F.first(v, ignorenulls=True).over(wn).alias("_nv"),
-        F.first(F.when(v.isNotNull(), F.col("offset")), ignorenulls=True).over(wn).alias("_no"),
+        F.last(v, ignorenulls=True).over(wn).alias("_nv"),
+        F.last(F.when(v.isNotNull(), F.col("offset")), ignorenulls=True).over(wn).alias("_no"),
     )
     x = F.col("offset").cast("double")
     slope = (F.col("_nv") - F.col("_pv")) / (F.col("_no").cast("double") - F.col("_po").cast("double"))

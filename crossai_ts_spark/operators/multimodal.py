@@ -1,0 +1,119 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
+signatures) is real and tested; the actual media DECODE is stubbed behind
+``decoder=`` because the sandbox image has no PIL/soundfile/av. At
+deploy time you inject a real decoder with the same signature
+(bytes -> np.ndarray) and nothing else changes.
+
+The deterministic fake decoder makes the pipeline testable end-to-end:
+it derives a fixed-shape float array from the payload bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("meta_width", T.IntegerType(), True),
+        T.StructField("meta_height", T.IntegerType(), True),
+        T.StructField("meta_sr", T.IntegerType(), True),  # audio sample rate
+        T.StructField("meta_frames", T.IntegerType(), True),
+    ]
+)
+
+Decoder = Callable[[bytes, str], np.ndarray]
+
+
+def real_decoder(payload: bytes, kind: str) -> np.ndarray:
+    """Placeholder for PIL/soundfile/av decode — not available in this image."""
+    raise NotImplementedError(
+        "media decoding requires PIL/soundfile/av; inject a decoder with "
+        "signature (bytes, kind) -> np.ndarray"
+    )
+
+
+def fake_decoder(payload: bytes, kind: str) -> np.ndarray:
+    """Deterministic stand-in: 64 float32 features from a payload digest."""
+    h = hashlib.sha256(payload).digest()
+    seed = int.from_bytes(h[:8], "big") % (2**32)
+    rng = np.random.default_rng(seed)
+    return rng.normal(0, 1, 64).astype(np.float32)
+
+
+def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table (payload = seeded bytes)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = ["image", "audio", "video"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rng = np.random.default_rng([seed, int(i)])
+                kind = kinds[int(i) % 3]
+                payload = rng.bytes(256 + int(i) % 512)
+                rows.append(
+                    {
+                        "media_id": f"m-{int(i):06d}",
+                        "kind": kind,
+                        "payload": payload,
+                        "meta_width": 64 if kind == "image" else None,
+                        "meta_height": 64 if kind == "image" else None,
+                        "meta_sr": 16000 if kind == "audio" else None,
+                        "meta_frames": 30 if kind == "video" else None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def extract_features(
+    media: DataFrame, decoder: Decoder = fake_decoder, batch_rows: int = 256
+) -> DataFrame:
+    """binary payload -> embedding via Arrow-batched kernel.
+
+    mapInPandas keeps payloads off the driver and lets the decoder run
+    vectorized per batch; partitioning is whatever the upstream scan gives
+    (binary payloads dominate size, so files are the natural unit).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decoder(bytes(p), k) for p, k in zip(pdf["payload"], pdf["kind"])]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "embedding": [f.astype(np.float32) for f in feats],
+                    "payload_bytes": pdf["payload"].map(len).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        kernel,
+        schema="media_id string, kind string, embedding array<float>, payload_bytes long",
+    )
+
+
+def frame_sample(media: DataFrame, every: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: emits (media_id, frame_idx) rows from
+    metadata; the per-frame decode plugs into extract_features."""
+    v = media.filter(F.col("kind") == "video")
+    return v.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("meta_frames") - 1, F.lit(every))
+        ).alias("frame_idx"),
+    )

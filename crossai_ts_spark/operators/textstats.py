@@ -1,0 +1,88 @@
+"""Text analysis over the documents table: language-ID, quality scoring,
+token counting, fingerprinting. Pure columnar expressions (codegen'd) —
+no UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "and", "of", "to", "a", "in", "is"]
+
+# marker words per language for the n-gram-free heuristic (deterministic,
+# oracle-portable); real corpora would use char-trigram profiles.
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "y", "los"],
+    "zh": ["de", "le", "shi"],
+}
+
+
+def _words(text_col: str = "text"):
+    return F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (len/4 heuristic +
+    punctuation splits) — the standard pretraining budget estimator."""
+    words = _words()
+    bpe_ish = F.ceil(F.length("text") / 4.0).cast("long")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.size(words).cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars"),
+        bpe_ish.alias("n_tokens_est"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Length/punct/stopword-ratio quality features."""
+    words = _words()
+    n_words = F.size(words).cast("double")
+    stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).cast("double")
+    n_punct = (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), r"[\.,;:!\?]", ""))
+    ).cast("double")
+    mean_wlen = (
+        F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)).cast("double")
+        / n_words
+    )
+    return docs.filter(F.size(words) > 0).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        (stop / n_words).alias("stopword_ratio"),
+        (n_punct / F.length("text").cast("double")).alias("punct_ratio"),
+        mean_wlen.alias("mean_word_len"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language heuristic with deterministic tie-break (first
+    language in fixed order wins ties)."""
+    words = _words()
+    scores = [
+        F.size(F.filter(words, lambda w, m=m: w.isin(*m))).alias(f"s_{lang}")
+        for lang, m in LANG_MARKERS.items()
+    ]
+    d = docs.select(F.col("doc_id").cast("string").alias("doc_id"), F.col("lang").alias("lang_true"), *scores)
+    langs = list(LANG_MARKERS)
+    pred = F.lit(langs[0])
+    best = F.col(f"s_{langs[0]}")
+    for lang in langs[1:]:
+        pred = F.when(F.col(f"s_{lang}") > best, F.lit(lang)).otherwise(pred)
+        best = F.greatest(best, F.col(f"s_{lang}"))
+    return d.select("doc_id", "lang_true", pred.alias("lang_pred"), best.cast("long").alias("score"))
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Rolling polynomial hash over characters (mod 1e9+7)."""
+    return docs.filter(F.length("text") > 0).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(
+            "aggregate(transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))), "
+            "cast(0 as bigint), (a, c) -> pmod(a * 31 + c, 1000000007))"
+        ).alias("fp"),
+    )
