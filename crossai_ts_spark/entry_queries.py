@@ -539,7 +539,7 @@ def islands(spark, sf_dir):
   SELECT user_id, MIN(seq)::BIGINT AS island_start, COUNT(*)::BIGINT AS n_events
   FROM hot GROUP BY user_id, grp
 )
-SELECT user_id, island_start, n_events FROM isl WHERE n_events >= 3
+SELECT user_id, island_start, n_events FROM isl WHERE n_events >= 2
 """,
 )
 def islands_duration(spark, sf_dir):
@@ -547,18 +547,18 @@ def islands_duration(spark, sf_dir):
     performance/detection.py:28-67)."""
     return (
         islands(spark, sf_dir)
-        .filter(F.col("n_events") >= 3)
+        .filter(F.col("n_events") >= 2)
         .select("user_id", "island_start", "n_events")
     )
 
 
 def _type_islands_sql(et: str, alias: str) -> str:
-    """Islands among one event type: gap > 10 min starts a new interval."""
+    """Islands among one event type: gap > 6 h starts a new interval."""
     return f"""
 {alias}_e AS (
   SELECT user_id, us,
          CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
-                   > 600000000 OR
+                   > 21600000000 OR
                    lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
               THEN 1 ELSE 0 END AS brk
   FROM ev WHERE event_type = '{et}'
@@ -608,7 +608,7 @@ def interval_iou(spark, sf_dir):
         e = e.withColumn(
             "brk",
             F.when(
-                (F.col("us") - F.lag("us").over(w) > 600000000)
+                (F.col("us") - F.lag("us").over(w) > 21600000000)
                 | F.lag("us").over(w).isNull(),
                 1,
             ).otherwise(0),
@@ -1235,3 +1235,209 @@ def compressed_tiers(spark, sf_dir):
         F.sum(F.octet_length("ts_blob") + F.octet_length("val_blob")).alias("bytes_compressed"),
         F.sum(F.col("n_points") * 16).alias("bytes_raw"),
     )
+
+
+# =====================================================================
+# F. Dedup + text analysis (training-data pipeline ops)
+# =====================================================================
+
+# portable shingle table: distinct 3-word-gram md5->bigint per doc
+SQL_SH = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS ws
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(array_to_string(ws[i:i+2], chr(31))), 1, 15))::BIGINT AS s
+  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+)
+"""
+
+
+@q(
+    "ngram_jaccard",
+    SQL_SH
+    + """
+, sz AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common,
+       common::DOUBLE / (x.n + y.n - common)::DOUBLE AS jaccard
+FROM common JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+WHERE common::DOUBLE / (x.n + y.n - common)::DOUBLE >= 0.1
+""",
+)
+def ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs (shared-shingle candidates only, never
+    O(n^2)) — operators/dedup.py."""
+    from .operators.dedup import ngram_jaccard_pairs, shingles
+
+    sh = shingles(load(spark, sf_dir, "documents"), n=3)
+    return ngram_jaccard_pairs(sh, threshold=0.1)
+
+
+def _minhash_sql(k: int = 8) -> str:
+    p = 2147483647
+    mins = ",\n         ".join(
+        f"MIN(((s % {p}) * {2 * i + 1} + {i * 40503 + 17}) % {p}) AS mh{i}" for i in range(k)
+    )
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, CAST(mh{2*b} AS VARCHAR) || '_' || CAST(mh{2*b+1} AS VARCHAR) AS key FROM mh"
+        for b in range(k // 2)
+    )
+    return (
+        SQL_SH
+        + f"""
+, mh AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+), bt AS (
+  {bands}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bt a JOIN bt b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+    )
+
+
+@q("minhash_lsh", _minhash_sql(8))
+def minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs (K=8, bands of 2) — operators/dedup.py."""
+    from .operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles
+
+    sh = shingles(load(spark, sf_dir, "documents"), n=3)
+    sig = minhash_signatures(sh, k=8)
+    return lsh_candidate_pairs(sig, k=8, band_size=2)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (s >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return (
+        SQL_SH
+        + f"""
+, votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM sh GROUP BY doc_id
+)
+SELECT doc_id, ({sig})::BIGINT AS simhash FROM votes
+"""
+    )
+
+
+@q("simhash", _simhash_sql(16))
+def simhash(spark, sf_dir):
+    """SimHash signatures (16-bit here; 64 at scale) — operators/dedup.py."""
+    from .operators.dedup import shingles, simhash_signatures
+
+    sh = shingles(load(spark, sf_dir, "documents"), n=3)
+    return simhash_signatures(sh, bits=16)
+
+
+@q(
+    "dedup_canonical",
+    """
+WITH h AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, md5(text) AS h,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY CAST(doc_id AS VARCHAR)) AS rn
+  FROM documents
+)
+SELECT doc_id, h, rn = 1 AS is_canonical FROM h
+""",
+)
+def dedup_canonical(spark, sf_dir):
+    """Exact dedup keep-first (operators/dedup.dedup_exact)."""
+    from .operators.dedup import dedup_exact as de
+
+    return de(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "token_counts",
+    """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       len(list_filter(string_split(text, ' '), w -> w != ''))::BIGINT AS n_words,
+       length(text)::BIGINT AS n_chars,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_est
+FROM documents
+""",
+)
+def token_counts(spark, sf_dir):
+    """Token counting: whitespace words + BPE-ish estimate
+    (operators/textstats.py)."""
+    from .operators.textstats import token_counts as tc
+
+    return tc(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "quality_scores",
+    r"""
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+         list_filter(string_split(text, ' '), x -> x != '') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       len(ws)::BIGINT AS n_words,
+       len(list_filter(ws, x -> x IN ('the','and','of','to','a','in','is')))::DOUBLE
+         / len(ws)::DOUBLE AS stopword_ratio,
+       (length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')))::DOUBLE
+         / length(text)::DOUBLE AS punct_ratio,
+       list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE
+         / len(ws)::DOUBLE AS mean_word_len
+FROM w WHERE len(ws) > 0
+""",
+)
+def quality_scores(spark, sf_dir):
+    """Quality scoring: stopword/punct ratios, mean word length
+    (operators/textstats.py)."""
+    from .operators.textstats import quality_scores as qs
+
+    return qs(load(spark, sf_dir, "documents"))
+
+
+def _langid_sql() -> str:
+    from .operators.textstats import LANG_MARKERS
+
+    langs = list(LANG_MARKERS)
+    score_cols = ",\n       ".join(
+        "len(list_filter(ws, x -> x IN ({m})))::BIGINT AS s_{lang}".format(
+            m=", ".join(f"'{w}'" for w in LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    pred, best = f"'{langs[0]}'", f"s_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN s_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"greatest({best}, s_{lang})"
+    return f"""
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x != '') AS ws
+  FROM documents
+), sc AS (
+  SELECT doc_id, lang AS lang_true,
+       {score_cols}
+  FROM w
+)
+SELECT doc_id, lang_true, {pred} AS lang_pred, ({best})::BIGINT AS score FROM sc
+"""
+
+
+@q("lang_id", _langid_sql())
+def lang_id(spark, sf_dir):
+    """Marker-word language-ID heuristic (operators/textstats.py)."""
+    from .operators.textstats import lang_id as li
+
+    return li(load(spark, sf_dir, "documents"))

@@ -88,7 +88,12 @@ def _next_tier_windows_expr(prev_col: str, fanout: int, width: int) -> str:
 
 
 def _explode_tier(df: DataFrame, windows_col: str, tier: int) -> DataFrame:
-    w = F.explode(F.col(windows_col)).alias("w")
+    # explode_outer: the plain explode makes the optimizer
+    # (InferFiltersFromGenerate) inject a pre-Generate filter that re-evaluates
+    # the ENTIRE window expression twice more (size(..)>0 && isnotnull(..)) —
+    # measured in .explain; outer generate needs no such filter and empty
+    # docs are already filtered out on n_tok.
+    w = F.explode_outer(F.col(windows_col)).alias("w")
     return df.select("doc_id", "source", w).select(
         "doc_id",
         "source",
@@ -116,22 +121,37 @@ def cascade_native(
     fanout: int = DEFAULT_FANOUT,
     tiers: int = DEFAULT_TIERS,
 ) -> DataFrame:
-    """All retention tiers in one narrow pass; union of exploded tier rows.
+    """All retention tiers in one narrow pass, ONE explode.
 
     Tier k+1 is derived from tier k's window array INSIDE the row — the
     partial-aggregation identity the north_rule asks for, with zero shuffle.
+    Tiers are tagged and concatenated into a single struct array before the
+    (single) Generate: a union of per-tier branches would re-evaluate every
+    lower tier once per branch (3x tier-1 work — measured in .explain).
     """
     dfw = df.filter(F.col("n_tok") > 0).withColumn("_t1", F.expr(_tier1_windows_expr(w)))
-    cols = ["_t1"]
     for k in range(2, tiers + 1):
         dfw = dfw.withColumn(
             f"_t{k}", F.expr(_next_tier_windows_expr(f"_t{k-1}", fanout, tier_width(k, w, fanout)))
         )
-        cols.append(f"_t{k}")
-    out = _explode_tier(dfw, "_t1", 1)
-    for k in range(2, tiers + 1):
-        out = out.unionByName(_explode_tier(dfw, f"_t{k}", k))
-    return out
+    tagged = ", ".join(
+        f"transform(_t{k}, s -> named_struct('tier', {k}, 'window_start', s.window_start, "
+        f"'mn', s.mn, 'mx', s.mx, 'sm', s.sm, 'cnt', s.cnt, 'lst', s.lst))"
+        for k in range(1, tiers + 1)
+    )
+    dfw = dfw.select("doc_id", "source", F.explode_outer(F.expr(f"concat({tagged})")).alias("w"))
+    return dfw.select(
+        "doc_id",
+        "source",
+        F.col("w.tier").cast("int").alias("tier"),
+        F.col("w.window_start").alias("window_start"),
+        F.col("w.mn").alias("t_min"),
+        F.col("w.mx").alias("t_max"),
+        F.col("w.sm").alias("t_sum"),
+        F.col("w.cnt").alias("t_cnt"),
+        F.col("w.lst").alias("t_last"),
+        (F.col("w.sm").cast("double") / F.col("w.cnt").cast("double")).alias("t_mean"),
+    )
 
 
 def cascade_pandas(

@@ -63,10 +63,13 @@ def lang_id(docs: DataFrame) -> DataFrame:
     """Marker-word language heuristic with deterministic tie-break (first
     language in fixed order wins ties)."""
     words = _words()
-    scores = [
-        F.size(F.filter(words, lambda w, m=m: w.isin(*m))).alias(f"s_{lang}")
-        for lang, m in LANG_MARKERS.items()
-    ]
+
+    def marker_score(markers: list[str]):
+        # NB: a default-arg lambda (lambda w, m=m: ...) would be mis-read by
+        # F.filter as a two-arg (element, index) lambda — use a closure.
+        return F.size(F.filter(words, lambda w: w.isin(*markers)))
+
+    scores = [marker_score(m).alias(f"s_{lang}") for lang, m in LANG_MARKERS.items()]
     d = docs.select(F.col("doc_id").cast("string").alias("doc_id"), F.col("lang").alias("lang_true"), *scores)
     langs = list(LANG_MARKERS)
     pred = F.lit(langs[0])

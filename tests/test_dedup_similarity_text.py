@@ -1,0 +1,120 @@
+"""Dedup, similarity-search, text-analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "web"),
+        (2, "the quick brown fox jumps over the lazy dog", "en", "web"),  # exact dup of 1
+        (3, "the quick brown fox jumps over a lazy dog", "en", "web"),  # near dup
+        (4, "der schnelle braune fuchs und der faule hund", "de", "web"),
+        (5, "completely different words about spark engines here", "en", "code"),
+        (6, "le renard brun rapide et le chien paresseux ensemble", "fr", "web"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_dedup_exact_canonical(spark, docs_df):
+    from crossai_ts_spark.operators.dedup import dedup_exact
+
+    got = dedup_exact(docs_df).toPandas().set_index("doc_id")
+    assert bool(got.loc["1", "is_canonical"]) is True
+    assert bool(got.loc["2", "is_canonical"]) is False  # dup of 1
+    assert got.is_canonical.sum() == 5
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs_df):
+    from crossai_ts_spark.operators.dedup import ngram_jaccard_pairs, shingles
+
+    sh = shingles(docs_df, n=3)
+    pairs = ngram_jaccard_pairs(sh, threshold=0.3).toPandas()
+    key = set(zip(pairs.doc_a, pairs.doc_b))
+    assert ("1", "2") in key  # exact dup -> jaccard 1.0
+    assert ("1", "3") in key  # near dup
+    j12 = pairs[(pairs.doc_a == "1") & (pairs.doc_b == "2")].jaccard.iloc[0]
+    assert j12 == 1.0
+    assert not ((pairs.doc_a == "1") & (pairs.doc_b == "5")).any()
+
+
+def test_minhash_lsh_candidates(spark, docs_df):
+    from crossai_ts_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    sig = minhash_signatures(shingles(docs_df, n=3), k=8)
+    pairs = lsh_candidate_pairs(sig, k=8, band_size=2).toPandas()
+    key = set(zip(pairs.doc_a, pairs.doc_b))
+    assert ("1", "2") in key  # identical signatures always collide
+
+
+def test_simhash_identical_docs_match(spark, docs_df):
+    from crossai_ts_spark.operators.dedup import shingles, simhash_signatures
+
+    sig = simhash_signatures(shingles(docs_df, n=3), bits=16).toPandas().set_index("doc_id")
+    assert sig.loc["1", "simhash"] == sig.loc["2", "simhash"]
+    h13 = int(sig.loc["1", "simhash"]) ^ int(sig.loc["3", "simhash"])
+    h15 = int(sig.loc["1", "simhash"]) ^ int(sig.loc["5", "simhash"])
+    assert bin(h13).count("1") <= bin(h15).count("1")  # near-dup is closer
+
+
+def test_cosine_topk_and_lsh(spark):
+    from crossai_ts_spark.operators.similarity import cosine_topk, lsh_topk
+
+    rng = np.random.default_rng(42)
+    base = rng.normal(0, 1, (20, 16)).astype(np.float32)
+    base[1] = base[0] + rng.normal(0, 0.01, 16).astype(np.float32)  # near-dup pair
+    emb = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(20)], "vec_id long, embedding array<float>"
+    )
+    got = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).toPandas()
+    assert got.iloc[0].vec_id == 1 and got.iloc[0].cos_sim > 0.99
+
+    ann = lsh_topk(emb, emb.filter(F.col("vec_id") == 0), dim=16, k=3, n_bits=4).toPandas()
+    assert 1 in set(ann.vec_id)  # near-identical vectors share every bucket
+
+
+def test_textstats(spark, docs_df):
+    from crossai_ts_spark.operators.textstats import lang_id, quality_scores, token_counts
+
+    tc = token_counts(docs_df).toPandas().set_index("doc_id")
+    assert tc.loc["1", "n_words"] == 9
+    qs = quality_scores(docs_df).toPandas().set_index("doc_id")
+    assert 0 <= qs.loc["1", "stopword_ratio"] <= 1
+    li = lang_id(docs_df).toPandas().set_index("doc_id")
+    assert li.loc["1", "lang_pred"] == "en"
+    assert li.loc["4", "lang_pred"] == "de"
+    assert li.loc["6", "lang_pred"] == "fr"
+
+
+def test_multimodal_plumbing(spark):
+    from crossai_ts_spark.operators.multimodal import (
+        extract_features,
+        fake_decoder,
+        frame_sample,
+        real_decoder,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=12)
+    feats = extract_features(media, decoder=fake_decoder).toPandas()
+    assert len(feats) == 12
+    assert all(len(e) == 64 for e in feats.embedding)
+    # determinism: same payload -> same features
+    feats2 = extract_features(media, decoder=fake_decoder).toPandas()
+    a = feats.sort_values("media_id").embedding.map(tuple).tolist()
+    b = feats2.sort_values("media_id").embedding.map(tuple).tolist()
+    assert a == b
+
+    frames = frame_sample(media, every=10).toPandas()
+    assert set(frames.frame_idx) == {0, 10, 20}
+
+    with pytest.raises(NotImplementedError):
+        real_decoder(b"x", "image")
