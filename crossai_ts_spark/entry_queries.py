@@ -406,22 +406,22 @@ FROM filled GROUP BY user_id
 )
 def gapfill_locf(spark, sf_dir):
     """LOCF gap-fill on a per-user minute grid (caits zero-order-hold),
-    verified by per-user exact checksums (dense output stays distributed)."""
+    via the join-free run-emission operator; per-user exact checksums.
+    The spine starts at each user's first observation, so n_null is 0 by
+    construction (kept for schema parity with the spine-based oracle)."""
+    from .operators.gapfill import gapfill_runs
+
     ev = _ev(spark, sf_dir)
-    obs = ev.groupBy("user_id", "minute").agg(F.max("cents").alias("cents"))
-    bounds = obs.groupBy("user_id").agg(F.min("minute").alias("mn"), F.max("minute").alias("mx"))
-    spine = bounds.select(
-        "user_id", F.explode(F.sequence("mn", "mx")).alias("minute")
+    obs = (
+        ev.groupBy("user_id", "minute")
+        .agg(F.max("cents").alias("value"))
+        .select(F.col("user_id").cast("string").alias("doc_id"), F.col("minute").alias("offset"), "value")
     )
-    joined = spine.join(obs, ["user_id", "minute"], "left")
-    w = Window.partitionBy("user_id").orderBy("minute").rowsBetween(Window.unboundedPreceding, 0)
-    filled = joined.select(
-        "user_id", "minute", F.last("cents", ignorenulls=True).over(w).alias("filled")
-    )
-    return filled.groupBy("user_id").agg(
+    filled = gapfill_runs(obs, mode="locf")
+    return filled.groupBy(F.col("doc_id").cast("long").alias("user_id")).agg(
         F.count("*").alias("n_points"),
         F.sum(F.when(F.col("filled").isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
-        F.sum(F.coalesce("filled", F.lit(0))).cast("long").alias("chk"),
+        F.sum(F.col("filled").cast("long")).cast("long").alias("chk"),
     )
 
 
@@ -470,11 +470,11 @@ FROM lin GROUP BY user_id
 """,
 )
 def gapfill_linear(spark, sf_dir):
-    """Linear-interp gap-fill (np.interp semantics, caits/preprocessing.py:55),
-    per-user exact checksum: floor(filled*1024) is an identical integer in
-    both engines because every `filled` double is produced by the same IEEE
-    expression."""
-    from .operators.gapfill import gapfill_linear as gl
+    """Linear-interp gap-fill (np.interp semantics, caits/preprocessing.py:55)
+    via the join-free run-emission operator. Per-user exact checksum:
+    floor(filled*1024) is an identical integer in both engines because every
+    `filled` double is produced by the same IEEE expression."""
+    from .operators.gapfill import gapfill_runs
 
     ev = _ev(spark, sf_dir)
     obs = (
@@ -482,9 +482,7 @@ def gapfill_linear(spark, sf_dir):
         .agg(F.max("cents").alias("value"))
         .select(F.col("user_id").cast("string").alias("doc_id"), F.col("minute").alias("offset"), "value")
     )
-    bounds = obs.groupBy("doc_id").agg(F.min("offset").alias("mn"), F.max("offset").alias("mx"))
-    spine = bounds.select("doc_id", F.explode(F.sequence("mn", "mx")).alias("offset"))
-    out = gl(obs, spine)
+    out = gapfill_runs(obs, mode="linear")
     return out.groupBy(F.col("doc_id").cast("long").alias("user_id")).agg(
         F.count("*").alias("n_points"),
         F.sum(F.floor(F.col("filled") * 1024.0).cast("long")).cast("long").alias("chk"),

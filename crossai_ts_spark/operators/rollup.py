@@ -162,39 +162,49 @@ def cascade_pandas(
 ) -> DataFrame:
     """All tiers via one vectorized numpy kernel in mapInPandas (Arrow).
 
-    Same narrow topology as cascade_native; the per-doc kernel is the oracle
-    itself (np.add/minimum/maximum.reduceat), so parity is structural.
+    Same narrow topology as cascade_native. Tier 1 is reduceat over raw
+    tokens; tier k+1 is the MERGE of tier k's arrays (min∘min, Σ∘Σ, ...) —
+    raw tokens are scanned exactly once per doc, and the cascade touches
+    only the (64x smaller per level) tier arrays. Output columns are
+    assembled per Arrow batch, not per doc.
     """
     widths = [tier_width(k, w, fanout) for k in range(1, tiers + 1)]
 
+    def merge_tier(r: dict[str, np.ndarray], fo: int, width: int) -> dict[str, np.ndarray]:
+        m = r["window_start"].size
+        idx = np.arange(0, m, fo)
+        ends = np.minimum(idx + fo, m)
+        return {
+            "window_start": np.arange(idx.size, dtype=np.int64) * width,
+            "t_min": np.minimum.reduceat(r["t_min"], idx),
+            "t_max": np.maximum.reduceat(r["t_max"], idx),
+            "t_sum": np.add.reduceat(r["t_sum"], idx),
+            "t_cnt": np.add.reduceat(r["t_cnt"], idx),
+            "t_last": r["t_last"][ends - 1],
+        }
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["window_start", "t_min", "t_max", "t_sum", "t_cnt", "t_last"]
         for pdf in batches:
-            outs = []
+            acc: dict[str, list] = {c: [] for c in ["doc_id", "source", "tier", *cols]}
             for row in pdf.itertuples(index=False):
                 toks = np.asarray(row.tokens, dtype=np.int32)
-                for k, width in enumerate(widths, start=1):
-                    r = rollup_doc(toks, width)
-                    m = len(r["window_start"])
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "doc_id": np.repeat(row.doc_id, m),
-                                "source": np.repeat(row.source, m),
-                                "tier": np.full(m, k, dtype=np.int32),
-                                "window_start": r["window_start"],
-                                "t_min": r["t_min"],
-                                "t_max": r["t_max"],
-                                "t_sum": r["t_sum"],
-                                "t_cnt": r["t_cnt"],
-                                "t_last": r["t_last"],
-                                "t_mean": r["t_mean"],
-                            }
-                        )
-                    )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+                r = rollup_doc(toks, widths[0])
+                for k in range(1, tiers + 1):
+                    if k > 1:
+                        r = merge_tier(r, fanout, widths[k - 1])
+                    m = r["window_start"].size
+                    acc["doc_id"].append(np.repeat(row.doc_id, m))
+                    acc["source"].append(np.repeat(row.source, m))
+                    acc["tier"].append(np.full(m, k, dtype=np.int32))
+                    for c in cols:
+                        acc[c].append(r[c])
+            if acc["doc_id"]:
+                out = {c: np.concatenate(v) for c, v in acc.items()}
+                out["t_mean"] = out["t_sum"] / out["t_cnt"]
+                yield pd.DataFrame(out)
 
-    return df.mapInPandas(kernel, schema=TIER_SCHEMA)
+    return df.filter(F.col("n_tok") > 0).mapInPandas(kernel, schema=TIER_SCHEMA)
 
 
 def rollup_long(
