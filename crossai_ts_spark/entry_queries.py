@@ -1439,3 +1439,296 @@ def lang_id(spark, sf_dir):
     from .operators.textstats import lang_id as li
 
     return li(load(spark, sf_dir, "documents"))
+
+
+# =====================================================================
+# G. Augmentation, scalar functions, encoders, metrics
+# =====================================================================
+
+
+@q(
+    "augment_reverse_polarity",
+    SQL_PTS
+    + """
+SELECT doc_id,
+       SUM(CASE WHEN off >= n_tok - 8 THEN -tok * CAST(power(31, n_tok - 1 - off) AS BIGINT)
+                ELSE 0 END)::BIGINT AS pol_head_hash,
+       arg_max(-tok, off)::BIGINT AS rev_first
+FROM pts GROUP BY doc_id
+""",
+)
+def augment_reverse_polarity(spark, sf_dir):
+    """reverse_ts + polarity_inversion (caits/augmentation/_augment_1d.py:553,:48):
+    checksum of the inverted head + first element of the reversed signal."""
+    from .operators.augment import polarity_inversion, reverse_ts
+
+    seqs = tokenize_documents(load(spark, sf_dir, "documents"))
+    a = reverse_ts(polarity_inversion(seqs).withColumn("tokens", F.col("tokens_aug")).drop("tokens_aug"))
+    # tokens_aug = reverse(-tokens): head-8 polynomial hash + first element
+    return a.select(
+        "doc_id",
+        F.expr(
+            "aggregate(slice(tokens_aug, 1, 8), "
+            "named_struct('s', cast(0 as bigint), 'p', cast(1 as bigint)), "
+            "(acc, x) -> named_struct('s', acc.s + x * acc.p, 'p', acc.p * 31), s -> s.s)"
+        ).alias("pol_head_hash"),
+        F.expr("cast(element_at(tokens_aug, 1) as bigint)").alias("rev_first"),
+    )
+
+
+@q(
+    "augment_gain_noise",
+    """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, length(text)::BIGINT AS n_tok
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       0.8 + (('0x' || substr(md5(doc_id || ':0'), 1, 8))::BIGINT / 4294967296.0) * 0.4
+         AS gain,
+       CAST(floor((('0x' || substr(md5(doc_id || ':1'), 1, 8))::BIGINT / 4294967296.0 - 0.5)
+            * 10.0 * 1024.0) AS BIGINT) AS noise1_q
+FROM d
+""",
+)
+def augment_gain_noise(spark, sf_dir):
+    """Hash-derived deterministic gain + per-sample noise (engine-portable
+    replacement for np.random in caits/augmentation/_augment_1d.py:12,:29)."""
+    from .operators.augment import add_white_noise, random_gain
+
+    seqs = tokenize_documents(load(spark, sf_dir, "documents"))
+    g = random_gain(seqs, 0.8, 1.2)
+    n = add_white_noise(seqs.select("doc_id", "tokens"), k=10.0).select(
+        "doc_id",
+        (
+            F.floor(
+                (F.expr("element_at(tokens_aug, 2)") - F.expr("cast(element_at(tokens, 2) as double)"))
+                * 1024.0
+            )
+        ).cast("long").alias("noise1_q"),
+    )
+    return g.select("doc_id", "gain").join(n, "doc_id")
+
+
+@q(
+    "db_scaling",
+    SQL_PTS
+    + """
+, e AS (
+  SELECT doc_id, SUM(tok * tok)::BIGINT AS energy, COUNT(*)::BIGINT AS n
+  FROM pts GROUP BY doc_id
+)
+SELECT doc_id,
+       round(10.0 * log10(greatest(1e-10, energy::DOUBLE / n::DOUBLE)), 9) AS power_db,
+       round(20.0 * log10(greatest(1e-5, sqrt(energy::DOUBLE / n::DOUBLE))), 9) AS amp_db,
+       round(2595.0 * log10(1.0 + (energy::DOUBLE / n::DOUBLE) / 700.0), 9) AS mel_of_power
+FROM e
+""",
+)
+def db_scaling(spark, sf_dir):
+    """dB + mel scalar functions (caits/fe/_spectrum.py:136-312,
+    core_spectrum/_utils.py:234) over per-doc average power."""
+    from .functions.scalars import hz_to_mel_htk
+
+    seqs = tokenize_documents(load(spark, sf_dir, "documents"))
+    e = seqs.select(
+        "doc_id",
+        F.expr(
+            "aggregate(tokens, cast(0 as bigint), (a, x) -> a + cast(x as bigint) * cast(x as bigint))"
+        ).alias("energy"),
+        F.col("n_tok").cast("long").alias("n"),
+    )
+    p = F.col("energy").cast("double") / F.col("n").cast("double")
+    # JVM Math.log10 and C libm log10 can differ in the last ulp -> round
+    return e.select(
+        "doc_id",
+        F.round(10.0 * F.log10(F.greatest(F.lit(1e-10), p)), 9).alias("power_db"),
+        F.round(20.0 * F.log10(F.greatest(F.lit(1e-5), F.sqrt(p))), 9).alias("amp_db"),
+        F.round(hz_to_mel_htk(p), 9).alias("mel_of_power"),
+    )
+
+
+@q(
+    "normalize_signal",
+    SQL_PTS
+    + """
+, mx AS (
+  SELECT doc_id, MAX(abs(tok)) AS m FROM pts GROUP BY doc_id
+)
+SELECT p.doc_id,
+       SUM(CAST(floor(p.tok::DOUBLE / m.m::DOUBLE * 1024.0) AS BIGINT))::BIGINT AS norm_chk
+FROM pts p JOIN mx m ON p.doc_id = m.doc_id
+GROUP BY p.doc_id
+""",
+)
+def normalize_signal(spark, sf_dir):
+    """normalize_signal (caits/preprocessing.py:4-21): x / max|x| per doc,
+    exact integer-grid checksum."""
+    from .functions.scalars import normalize_tokens
+
+    seqs = tokenize_documents(load(spark, sf_dir, "documents"))
+    n = normalize_tokens(seqs)
+    return n.select(
+        "doc_id",
+        F.expr(
+            "aggregate(tokens_norm, cast(0 as bigint), (a, x) -> a + cast(floor(x * 1024.0) as bigint))"
+        ).alias("norm_chk"),
+    )
+
+
+@q(
+    "label_encode",
+    """
+SELECT DISTINCT lang, dense_rank() OVER (ORDER BY lang) - 1 AS label
+FROM documents
+""",
+)
+def label_encode(spark, sf_dir):
+    """LE label encoder (caits/transformers/_encoder.py:5-49) as
+    dense_rank over distinct labels."""
+    d = load(spark, sf_dir, "documents").select("lang").distinct()
+    w = Window.orderBy("lang")
+    return d.select("lang", (F.dense_rank().over(w) - 1).cast("long").alias("label"))
+
+
+@q(
+    "entropy_per_user",
+    SQL_EV
+    + """
+, c AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS c1,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS c2,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS c3,
+         SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS c4,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS c5,
+         COUNT(*)::BIGINT AS n
+  FROM ev GROUP BY user_id
+)
+SELECT user_id, n, round(raw_entropy, 9) AS entropy FROM (
+SELECT user_id, n,
+       -((CASE WHEN c1 > 0 THEN (c1::DOUBLE / n::DOUBLE) * log2(c1::DOUBLE / n::DOUBLE) ELSE 0.0 END)
+       + (CASE WHEN c2 > 0 THEN (c2::DOUBLE / n::DOUBLE) * log2(c2::DOUBLE / n::DOUBLE) ELSE 0.0 END)
+       + (CASE WHEN c3 > 0 THEN (c3::DOUBLE / n::DOUBLE) * log2(c3::DOUBLE / n::DOUBLE) ELSE 0.0 END)
+       + (CASE WHEN c4 > 0 THEN (c4::DOUBLE / n::DOUBLE) * log2(c4::DOUBLE / n::DOUBLE) ELSE 0.0 END)
+       + (CASE WHEN c5 > 0 THEN (c5::DOUBLE / n::DOUBLE) * log2(c5::DOUBLE / n::DOUBLE) ELSE 0.0 END))
+         AS raw_entropy
+FROM c
+)
+""",
+)
+def entropy_per_user(spark, sf_dir):
+    """compute_entropy (caits/performance/metrics.py:12-26) over the
+    event-type distribution; FIXED-ORDER sum of 5 pivoted terms so both
+    engines add in the same order (unordered SUM over doubles would not
+    be bitwise-stable)."""
+    ev = _ev(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("long").alias(f"c{i+1}")
+        for i, t in enumerate(types)
+    ]
+    c = ev.groupBy("user_id").agg(*aggs, F.count("*").alias("n"))
+    n = F.col("n").cast("double")
+    terms = None
+    for i in range(5):
+        p = F.col(f"c{i+1}").cast("double") / n
+        t = F.when(F.col(f"c{i+1}") > 0, p * F.log2(p)).otherwise(F.lit(0.0))
+        terms = t if terms is None else terms + t
+    return c.select("user_id", "n", F.round(-terms, 9).alias("entropy"))
+
+
+@q(
+    "detection_metrics",
+    SQL_EV
+    + ","
+    + _type_islands_sql("click", "pred")
+    + ","
+    + _type_islands_sql("error", "gt")
+    + """
+, pairs AS (
+  SELECT p.user_id, p.s AS p_start,
+         (least(p.e, g.e) - greatest(p.s, g.s))::DOUBLE
+           / (greatest(p.e, g.e) - least(p.s, g.s))::DOUBLE AS iou
+  FROM pred p JOIN gt g
+    ON p.user_id = g.user_id AND p.s <= g.e AND g.s <= p.e
+       AND greatest(p.e, g.e) > least(p.s, g.s)
+), matched AS (
+  SELECT DISTINCT user_id, p_start FROM pairs WHERE iou >= 0.1
+)
+SELECT (SELECT COUNT(*)::BIGINT FROM pred) AS n_pred,
+       (SELECT COUNT(*)::BIGINT FROM gt) AS n_gt,
+       (SELECT COUNT(*)::BIGINT FROM matched) AS n_matched,
+       (SELECT COUNT(*)::BIGINT FROM matched)::DOUBLE
+         / (SELECT COUNT(*)::BIGINT FROM pred)::DOUBLE AS detection_ratio
+""",
+)
+def detection_metrics(spark, sf_dir):
+    """detection_ratio / matched-event counts (caits/performance/metrics.py:103,
+    detection.py:98-156) over the interval-IoU join."""
+    ev = _ev(spark, sf_dir)
+
+    def type_islands(et):
+        e = ev.filter(F.col("event_type") == et)
+        w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        e = e.withColumn(
+            "brk",
+            F.when(
+                (F.col("us") - F.lag("us").over(w) > 21600000000) | F.lag("us").over(w).isNull(), 1
+            ).otherwise(0),
+        )
+        wg = Window.partitionBy("user_id").orderBy("us").rowsBetween(Window.unboundedPreceding, 0)
+        e = e.withColumn("grp", F.sum("brk").over(wg))
+        return e.groupBy("user_id", "grp").agg(F.min("us").alias("s"), F.max("us").alias("e"))
+
+    pred = type_islands("click").alias("p")
+    gt = type_islands("error").alias("g")
+    pairs = pred.join(
+        gt,
+        (F.col("p.user_id") == F.col("g.user_id"))
+        & (F.col("p.s") <= F.col("g.e"))
+        & (F.col("g.s") <= F.col("p.e"))
+        & (F.greatest(F.col("p.e"), F.col("g.e")) > F.least(F.col("p.s"), F.col("g.s"))),
+    ).select(
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.s").alias("p_start"),
+        (
+            (F.least(F.col("p.e"), F.col("g.e")) - F.greatest(F.col("p.s"), F.col("g.s"))).cast("double")
+            / (F.greatest(F.col("p.e"), F.col("g.e")) - F.least(F.col("p.s"), F.col("g.s"))).cast("double")
+        ).alias("iou"),
+    )
+    matched = pairs.filter(F.col("iou") >= 0.1).select("user_id", "p_start").distinct()
+    n_pred = pred.count()
+    n_gt = gt.count()
+    n_matched = matched.count()
+    return load(spark, sf_dir, "region").limit(1).select(
+        F.lit(n_pred).cast("long").alias("n_pred"),
+        F.lit(n_gt).cast("long").alias("n_gt"),
+        F.lit(n_matched).cast("long").alias("n_matched"),
+        (F.lit(n_matched).cast("double") / F.lit(n_pred).cast("double")).alias("detection_ratio"),
+    )
+
+
+@q("spectral_features", None)
+def spectral_features_q(spark, sf_dir):
+    """One-FFT-per-doc spectral struct (caits/fe/_spectral.py:499-539 parity,
+    functions/spectral.py) — FFT not SQL-expressible: rows-only check."""
+    from .functions.spectral import spectral_features
+
+    seqs = tokenize_documents(load(spark, sf_dir, "documents"))
+    sp = spectral_features(seqs)
+    return sp.select(
+        "doc_id",
+        *[F.round(F.col(c), 6).alias(c) for c in sp.columns if c != "doc_id"],
+    )
+
+
+@q("lsh_ann", None)
+def lsh_ann(spark, sf_dir):
+    """LSH-bucketed approximate NN (operators/similarity.py scale path);
+    rows-only (hyperplane RNG is numpy-side)."""
+    from .operators.similarity import lsh_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    q_ = e.filter(F.col("vec_id") < 10)
+    return lsh_topk(e, q_, dim=64, k=5, n_bits=6, seed=42)

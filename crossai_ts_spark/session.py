@@ -24,6 +24,12 @@ def get_spark(
     master defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default all cores).
     In cluster mode pass master=None and let spark-submit supply it.
     """
+    # one BLAS/OMP thread per python worker: N workers each spawning an
+    # nproc-sized OpenBLAS pool oversubscribes N*nproc threads (measured
+    # 4x SLOWDOWN at local[32]); Spark supplies the parallelism, not BLAS
+    for v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(v, "1")
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if master is None:
         master = f"local[{cpus}]"
@@ -43,6 +49,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # tokens arrays up to 64 KiB/row: keep scan splits reasonable
         .config("spark.sql.files.maxPartitionBytes", "128m")

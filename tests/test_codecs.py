@@ -127,3 +127,19 @@ def test_token_roundtrip_invariant(spark, tiny_df):
 
     res = tokens_roundtrip_check(tiny_df).toPandas()
     assert res.ok.all()
+
+
+def test_batched_equals_grouped_compression(spark, tiny_df):
+    from crossai_ts_spark.functions.codecs import compress_tiers, compress_tiers_grouped
+    from crossai_ts_spark.operators.rollup import cascade_native
+
+    tiers = cascade_native(tiny_df, w=64, fanout=8, tiers=2)
+    a = {
+        (r.doc_id, r.tier): (bytes(r.ts_blob), bytes(r.val_blob), r.n_points)
+        for r in compress_tiers(tiers, partitions=3).collect()
+    }
+    b = {
+        (r.doc_id, r.tier): (bytes(r.ts_blob), bytes(r.val_blob), r.n_points)
+        for r in compress_tiers_grouped(tiers).collect()
+    }
+    assert a == b

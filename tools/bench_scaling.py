@@ -1,10 +1,21 @@
 """Two-cluster-size scaling evidence (north_rule: efficiency >= 0.8 from N
-to 4N executors; sandbox proxy: local[8] vs local[32] on identical input).
+to 4N executors; sandbox proxy: local[8] vs local[32], identical input).
 
-Each level runs in its OWN subprocess/JVM (a fresh SparkSession per level —
-local[N] can't be changed in-process). Writes BENCH/BASELINE.md.
+Methodology (each point hardened against a measured pitfall):
+  * the input is MATERIALIZED to parquet once and read identically by both
+    levels — no per-level cache layouts;
+  * each level runs in its own subprocess/JVM (local[N] is fixed at session
+    start);
+  * BLAS/OMP threads are pinned to 1 (N python workers x nproc-sized
+    OpenBLAS pools oversubscribed the box 32x and made local[32] 4x SLOWER
+    than local[8] before the fix — see session.py);
+  * the measured job is the full north_rule pipeline — 3-tier cascade +
+    Gorilla/ΔΔ compression of every tier — so compute dominates fixed
+    job-scheduling overhead (~1.6 s/run measured);
+  * a warm-up run precedes the timed run (JIT, Arrow init, python workers).
 
-    python tools/bench_scaling.py [--docs 4000] [--low 8] [--high 32]
+Writes BENCH/BASELINE.md.   Usage:
+    python tools/bench_scaling.py [--docs 60000] [--low 8] [--high 32]
 """
 
 from __future__ import annotations
@@ -12,40 +23,53 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+INPUT = "/tmp/scale_input_{docs}"
+
+GEN = r"""
+import sys; sys.path.insert(0, {repo!r})
+from crossai_ts_spark.session import get_spark
+from crossai_ts_spark.datagen import gen_sequences
+spark = get_spark(master="local[32]")
+gen_sequences(spark, n_docs={docs}, seed=42, partitions=128).write.mode("overwrite").parquet({path!r})
+spark.stop()
+"""
 
 CHILD = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
 from crossai_ts_spark.session import get_spark
-from crossai_ts_spark.datagen import gen_sequences
 from crossai_ts_spark.operators.rollup import cascade
+from crossai_ts_spark.functions.codecs import compress_tiers
+spark = get_spark(app_name="bench_scaling", master="local[{cores}]", shuffle_partitions={cores})
 
-spark = get_spark(app_name="bench_scaling", master="local[{cores}]",
-                  shuffle_partitions={cores})
-seqs = gen_sequences(spark, n_docs={docs}, seed=42, partitions={parts}).cache()
-n_seq = seqs.count()
-n_tok = int(seqs.selectExpr("sum(cast(n_tok as bigint)) s").collect()[0].s)
-# warm-up (JIT + arrow init) then measured run
-cascade(seqs, strategy={strategy!r}, w=64, fanout=64, tiers=3).count()
+def job():
+    seqs = spark.read.parquet({path!r})
+    tiers = cascade(seqs, strategy="pandas", w=64, fanout=64, tiers=3)
+    segs = compress_tiers(tiers)
+    return segs.count()
+
+job()  # warm-up: JIT, Arrow init, python worker pool
 t0 = time.monotonic()
-n_rows = cascade(seqs, strategy={strategy!r}, w=64, fanout=64, tiers=3).count()
+n_segs = job()
 wall = time.monotonic() - t0
-print("RESULT " + json.dumps({{"cores": {cores}, "wall": wall, "n_seq": n_seq,
-      "n_tok": n_tok, "rows": n_rows,
-      "tokens_per_sec": n_tok / wall, "seqs_per_sec": n_seq / wall}}))
+meta = spark.read.parquet({path!r}).selectExpr(
+    "count(*) AS n_seq", "sum(cast(n_tok as bigint)) AS n_tok").collect()[0]
+print("RESULT " + json.dumps({{"cores": {cores}, "wall": wall,
+      "n_seq": meta.n_seq, "n_tok": int(meta.n_tok), "segments": n_segs,
+      "tokens_per_sec": int(meta.n_tok) / wall,
+      "seqs_per_sec": meta.n_seq / wall}}))
 spark.stop()
 """
 
 
-def run_level(cores: int, docs: int, strategy: str) -> dict:
-    code = CHILD.format(repo=REPO, cores=cores, docs=docs, parts=max(32, cores * 4), strategy=strategy)
-    r = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
-    )
+def run_level(cores: int, path: str) -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, path=path)
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=3000)
     for line in r.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
@@ -54,14 +78,21 @@ def run_level(cores: int, docs: int, strategy: str) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=4000)
+    ap.add_argument("--docs", type=int, default=60000)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
-    ap.add_argument("--strategy", default="pandas")
+    ap.add_argument("--keep-input", action="store_true")
     args = ap.parse_args()
 
-    lo = run_level(args.low, args.docs, args.strategy)
-    hi = run_level(args.high, args.docs, args.strategy)
+    path = INPUT.format(docs=args.docs)
+    if not os.path.isdir(path):
+        subprocess.run(
+            [sys.executable, "-c", GEN.format(repo=REPO, docs=args.docs, path=path)],
+            check=True, capture_output=True, timeout=3000,
+        )
+
+    lo = run_level(args.low, path)
+    hi = run_level(args.high, path)
     ratio = args.high / args.low
     speedup = lo["wall"] / hi["wall"]
     eff = speedup / ratio
@@ -69,13 +100,16 @@ def main() -> int:
     md = f"""# BENCH/BASELINE — scaling evidence (N vs {int(ratio)}N parallelism)
 
 north_rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
-executors. Sandbox proxy (no real cluster): the identical 3-tier rollup job
-on the identical synthetic input at two local parallelism levels, each in
-its own JVM.
+executors. Sandbox proxy (no real cluster): the identical job on identical
+parquet input at two local parallelism levels, each in its own JVM;
+BLAS threads pinned to 1; warm-up run excluded.
 
-Input: gen_sequences(seed=42, n_docs={args.docs}) = {lo["n_seq"]} sequences,
-{lo["n_tok"]:,} tokens. Job: cascade(strategy={args.strategy!r}, w=64,
-fanout=64, tiers=3) -> count. Warm-up run excluded.
+Job = full retention pipeline: 3-tier cascade (pandas/Arrow kernel,
+w=64, fanout=64) + Gorilla XOR / delta-of-delta compression of every tier
+({lo["segments"]} compressed segments out).
+
+Input: gen_sequences(seed=42, n_docs={args.docs}) -> {lo["n_seq"]:,} sequences,
+{lo["n_tok"]:,} tokens, 128 parquet partitions.
 
 | parallelism | wall (s) | tokens/sec | sequences/sec |
 |---|---|---|---|
@@ -84,12 +118,20 @@ fanout=64, tiers=3) -> count. Warm-up run excluded.
 
 speedup = {speedup:.2f}x over a {ratio:.0f}x core increase
 **scaling efficiency = {eff:.3f}** (target >= 0.8)
+
+Caveat (honest proxy limits): both "clusters" share one machine's memory
+bandwidth and the driver JVM; a real 4x executor step (separate hosts)
+scales the bandwidth with the cores. The per-level fixed cost (~1.6 s of
+job scheduling + Arrow/python-worker init, measured by varying input size)
+is amortized by the {args.docs}-doc workload.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(md)
     print(json.dumps({"low": lo, "high": hi, "efficiency": eff}))
+    if not args.keep_input:
+        shutil.rmtree(path, ignore_errors=True)
     return 0
 
 
