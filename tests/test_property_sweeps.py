@@ -1,0 +1,69 @@
+"""Property-style parameter sweeps (SURVEY §5(e), modeled on the
+reference's generator-driven sweeps in test/utils.py:3-39).
+
+The key new axis vs the reference: PARTITION-COUNT INVARIANCE — identical
+bitwise results for every (W, fanout, salt, partitioning) combination.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from crossai_ts_spark.datagen import gen_local
+from crossai_ts_spark.operators.rollup import cascade_native, cascade_pandas
+from crossai_ts_spark.operators.salted import salted_tier_source_rollup
+from crossai_ts_spark.oracle.rollup import cascade_oracle
+from crossai_ts_spark.schema import SEQUENCES_SCHEMA
+
+KEY = ["doc_id", "tier", "window_start"]
+
+
+@pytest.fixture(scope="module")
+def sweep_docs():
+    return gen_local(seed=123, n_docs=12, max_tok=2048)
+
+
+@pytest.fixture(scope="module")
+def sweep_df(spark, sweep_docs):
+    return spark.createDataFrame(sweep_docs, schema=SEQUENCES_SCHEMA).cache()
+
+
+def _cmp(got, exp):
+    got = got.sort_values(KEY).reset_index(drop=True)
+    exp = exp.sort_values(KEY).reset_index(drop=True)
+    assert len(got) == len(exp)
+    for c in ["t_min", "t_max", "t_sum", "t_cnt", "t_last"]:
+        assert got[c].tolist() == exp[c].tolist(), c
+    assert (got.t_mean.to_numpy().view(np.int64) == exp.t_mean.to_numpy().view(np.int64)).all()
+
+
+@pytest.mark.parametrize("w,fanout", [(7, 3), (32, 4), (100, 5), (64, 64)])
+def test_w_fanout_sweep(spark, sweep_df, sweep_docs, w, fanout):
+    """Odd window widths, small fanouts, ragged everything — still bitwise."""
+    got = cascade_native(sweep_df, w=w, fanout=fanout, tiers=3).toPandas()
+    exp = cascade_oracle(sweep_docs, w=w, fanout=fanout, tiers=3)
+    _cmp(got, exp)
+
+
+@pytest.mark.parametrize("parts", [1, 5, 17])
+@pytest.mark.parametrize("strategy", ["native", "pandas"])
+def test_partition_strategy_matrix(spark, sweep_df, sweep_docs, parts, strategy):
+    fn = cascade_native if strategy == "native" else cascade_pandas
+    got = fn(sweep_df.repartition(parts), w=32, fanout=4, tiers=2).toPandas()
+    exp = cascade_oracle(sweep_docs, w=32, fanout=4, tiers=2)
+    _cmp(got, exp)
+
+
+@pytest.mark.parametrize("salts", [1, 4, 64])
+def test_salt_count_sweep(spark, sweep_df, salts):
+    """Salted source rollup identical at any salt count."""
+    t1 = cascade_native(sweep_df, w=32, fanout=4, tiers=1)
+    base = salted_tier_source_rollup(t1, n_salts=2).toPandas()
+    got = salted_tier_source_rollup(t1, n_salts=salts).toPandas()
+    key = ["source", "tier", "window_start"]
+    base = base.sort_values(key).reset_index(drop=True)
+    got = got.sort_values(key).reset_index(drop=True)
+    for c in ["t_min", "t_max", "t_sum", "t_cnt", "n_docs"]:
+        assert got[c].tolist() == base[c].tolist(), c
+    assert (got.t_mean.to_numpy().view(np.int64) == base.t_mean.to_numpy().view(np.int64)).all()

@@ -31,7 +31,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 INPUT = "/tmp/scale_input_{docs}"
 
 GEN = r"""
-import sys; sys.path.insert(0, {repo!r})
+import os, sys
+os.environ["PYTHONPATH"] = {repo!r}
+sys.path.insert(0, {repo!r})
 from crossai_ts_spark.session import get_spark
 from crossai_ts_spark.datagen import gen_sequences
 spark = get_spark(master="local[32]")
@@ -40,26 +42,37 @@ spark.stop()
 """
 
 CHILD = r"""
-import json, sys, time
+import json, os, sys, time
+os.environ["PYTHONPATH"] = {repo!r}  # python workers need the pkg too
 sys.path.insert(0, {repo!r})
 from crossai_ts_spark.session import get_spark
 from crossai_ts_spark.operators.rollup import cascade
 from crossai_ts_spark.functions.codecs import compress_tiers
 spark = get_spark(app_name="bench_scaling", master="local[{cores}]", shuffle_partitions={cores})
 
-def job():
+def job(limit=None):
     seqs = spark.read.parquet({path!r})
+    if limit:
+        seqs = seqs.limit(limit)
     tiers = cascade(seqs, strategy="pandas", w=64, fanout=64, tiers=3)
     segs = compress_tiers(tiers)
     return segs.count()
 
-job()  # warm-up: JIT, Arrow init, python worker pool
-t0 = time.monotonic()
-n_segs = job()
-wall = time.monotonic() - t0
+# SMALL warm-up (JIT, Arrow init, python worker pool): a full-size warm-up
+# leaves the session measurably degraded (python-worker/JVM heap growth made
+# identical back-to-back runs 1.7x slower), contaminating the timed run.
+job(limit=4000)
+# min of 3 trials: the sandbox VM shows +-2x run-to-run noise (shared host);
+# the minimum is the least-throttled estimate of the configuration's speed
+walls = []
+for _ in range(3):
+    t0 = time.monotonic()
+    n_segs = job()
+    walls.append(time.monotonic() - t0)
+wall = min(walls)
 meta = spark.read.parquet({path!r}).selectExpr(
     "count(*) AS n_seq", "sum(cast(n_tok as bigint)) AS n_tok").collect()[0]
-print("RESULT " + json.dumps({{"cores": {cores}, "wall": wall,
+print("RESULT " + json.dumps({{"cores": {cores}, "wall": wall, "walls": [round(w, 2) for w in walls],
       "n_seq": meta.n_seq, "n_tok": int(meta.n_tok), "segments": n_segs,
       "tokens_per_sec": int(meta.n_tok) / wall,
       "seqs_per_sec": meta.n_seq / wall}}))
@@ -113,8 +126,8 @@ Input: gen_sequences(seed=42, n_docs={args.docs}) -> {lo["n_seq"]:,} sequences,
 
 | parallelism | wall (s) | tokens/sec | sequences/sec |
 |---|---|---|---|
-| local[{args.low}] (N) | {lo["wall"]:.2f} | {lo["tokens_per_sec"]:,.0f} | {lo["seqs_per_sec"]:,.0f} |
-| local[{args.high}] ({int(ratio)}N) | {hi["wall"]:.2f} | {hi["tokens_per_sec"]:,.0f} | {hi["seqs_per_sec"]:,.0f} |
+| local[{args.low}] (N) | {lo["wall"]:.2f} (trials {lo["walls"]}) | {lo["tokens_per_sec"]:,.0f} | {lo["seqs_per_sec"]:,.0f} |
+| local[{args.high}] ({int(ratio)}N) | {hi["wall"]:.2f} (trials {hi["walls"]}) | {hi["tokens_per_sec"]:,.0f} | {hi["seqs_per_sec"]:,.0f} |
 
 speedup = {speedup:.2f}x over a {ratio:.0f}x core increase
 **scaling efficiency = {eff:.3f}** (target >= 0.8)
