@@ -1732,3 +1732,18 @@ def lsh_ann(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     q_ = e.filter(F.col("vec_id") < 10)
     return lsh_topk(e, q_, dim=64, k=5, n_bits=6, seed=42)
+
+
+@q("dsp_features", None)
+def dsp_features_q(spark, sf_dir):
+    """STFT-family composite (mfcc/mel/hilbert/gaussian — caits/fe/_spectrum.py,
+    properties.py:9-71, filtering.py) — FFT kernels, rows-only check."""
+    from .functions.dsp import dsp_features
+
+    seqs = tokenize_documents(load(spark, sf_dir, "documents"))
+    d = dsp_features(seqs)
+    return d.select(
+        "doc_id",
+        "n_frames",
+        *[F.round(F.col(c), 6).alias(c) for c in d.columns if c not in ("doc_id", "n_frames")],
+    )
