@@ -36,7 +36,10 @@ HEADLINE_QUERIES = [
     "outlier_zscore",
     "ann_cosine_topk",
     "dedup_exact",
+    "minhash_lsh",
+    "interval_iou",
     "codec_roundtrip",
+    "dsp_features",
 ]
 
 
