@@ -75,14 +75,19 @@ def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet reads ts as TIMESTAMP_NTZ; session TZ is UTC so the cast
     # interprets the naive value exactly like DuckDB's epoch_us
     ts = F.col("ts").cast("timestamp")
-    return load(spark, sf_dir, "events").select(
+    base = load(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
         "event_type",
         F.unix_micros(ts).alias("us"),
-        (F.unix_micros(ts) / F.lit(60000000)).cast("long").alias("minute"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
+    # exact integer FLOOR division (DuckDB's // floors; Spark's `div` and
+    # double-division truncate toward zero, diverging for pre-1970 us < 0):
+    # us - pmod(us, d) is the largest multiple of d <= us for any sign
+    return base.withColumn(
+        "minute", F.expr("(us - pmod(us, 60000000)) div 60000000").cast("long")
+    ).select("event_id", "user_id", "event_type", "us", "minute", "cents")
 
 
 # =====================================================================
@@ -1258,11 +1263,15 @@ WITH w AS (
     "ngram_jaccard",
     SQL_SH
     + """
-, sz AS (
-  SELECT doc_id, COUNT(*)::BIGINT AS n FROM sh GROUP BY doc_id
+, shc AS (
+  SELECT sh.doc_id, sh.s FROM sh
+  JOIN (SELECT s, COUNT(*)::BIGINT AS df FROM sh GROUP BY s) d
+    ON d.s = sh.s AND d.df <= 1000
+), sz AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n FROM shc GROUP BY doc_id
 ), common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS common
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, common,
@@ -1272,12 +1281,12 @@ WHERE common::DOUBLE / (x.n + y.n - common)::DOUBLE >= 0.1
 """,
 )
 def ngram_jaccard(spark, sf_dir):
-    """n-gram Jaccard near-dup pairs (shared-shingle candidates only, never
-    O(n^2)) — operators/dedup.py."""
+    """n-gram Jaccard near-dup pairs (shared-shingle candidates with a
+    document-frequency cap, never O(n^2)) — operators/dedup.py."""
     from .operators.dedup import ngram_jaccard_pairs, shingles
 
     sh = shingles(load(spark, sf_dir, "documents"), n=3)
-    return ngram_jaccard_pairs(sh, threshold=0.1)
+    return ngram_jaccard_pairs(sh, threshold=0.1, max_df=1000)
 
 
 def _minhash_sql(k: int = 8) -> str:
@@ -1298,21 +1307,26 @@ def _minhash_sql(k: int = 8) -> str:
   FROM sh GROUP BY doc_id
 ), bt AS (
   {bands}
+), btc AS (
+  SELECT bt.doc_id, bt.band, bt.key FROM bt
+  JOIN (SELECT band, key, COUNT(*)::BIGINT AS bn FROM bt GROUP BY band, key) c
+    ON c.band = bt.band AND c.key = bt.key AND c.bn <= 1000
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bt a JOIN bt b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+FROM btc a JOIN btc b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 """
     )
 
 
 @q("minhash_lsh", _minhash_sql(8))
 def minhash_lsh(spark, sf_dir):
-    """MinHash+LSH candidate pairs (K=8, bands of 2) — operators/dedup.py."""
+    """MinHash+LSH candidate pairs (K=8, bands of 2, bucket-size cap) —
+    operators/dedup.py."""
     from .operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles
 
     sh = shingles(load(spark, sf_dir, "documents"), n=3)
     sig = minhash_signatures(sh, k=8)
-    return lsh_candidate_pairs(sig, k=8, band_size=2)
+    return lsh_candidate_pairs(sig, k=8, band_size=2, max_bucket=1000)
 
 
 def _simhash_sql(bits: int = 16) -> str:
@@ -1698,14 +1712,19 @@ def detection_metrics(spark, sf_dir):
         ).alias("iou"),
     )
     matched = pairs.filter(F.col("iou") >= 0.1).select("user_id", "p_start").distinct()
-    n_pred = pred.count()
-    n_gt = gt.count()
-    n_matched = matched.count()
-    return load(spark, sf_dir, "region").limit(1).select(
-        F.lit(n_pred).cast("long").alias("n_pred"),
-        F.lit(n_gt).cast("long").alias("n_gt"),
-        F.lit(n_matched).cast("long").alias("n_matched"),
-        (F.lit(n_matched).cast("double") / F.lit(n_pred).cast("double")).alias("detection_ratio"),
+    # ONE lazy plan: three 1-row aggregates cross-joined (each side is a
+    # single row, so the joins are trivial broadcasts) — no driver .count()
+    # actions, no recomputation of the islands subtree per metric
+    a_pred = pred.agg(F.count("*").cast("long").alias("n_pred"))
+    a_gt = gt.agg(F.count("*").cast("long").alias("n_gt"))
+    a_m = matched.agg(F.count("*").cast("long").alias("n_matched"))
+    return a_pred.crossJoin(a_gt).crossJoin(a_m).select(
+        "n_pred",
+        "n_gt",
+        "n_matched",
+        (F.col("n_matched").cast("double") / F.col("n_pred").cast("double")).alias(
+            "detection_ratio"
+        ),
     )
 
 
@@ -1747,3 +1766,244 @@ def dsp_features_q(spark, sf_dir):
         "n_frames",
         *[F.round(F.col(c), 6).alias(c) for c in d.columns if c not in ("doc_id", "n_frames")],
     )
+
+# =====================================================================
+# G. Round-2 additions: LSH-oracle similarity, rank correlation
+# =====================================================================
+
+# DuckDB literal hyperplane list: each element explicitly cast to DOUBLE so
+# the parsed value is the exact float64 the Spark plan embeds (repr() is
+# shortest-round-trip)
+def _plane_sql(p) -> str:
+    return "[" + ", ".join(f"({float(x)!r})::DOUBLE" for x in p) + "]"
+
+
+def _bucket_sql(dim: int, n_bits: int, seed: int, vec: str = "embedding") -> str:
+    """DuckDB expression computing the SAME random-hyperplane LSH bucket as
+    operators/similarity.lsh_bucket: identical literals, identical left-fold
+    dot product, identical sign test — bitwise-deterministic both engines."""
+    from .operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_bits, seed)
+    bits = [
+        f"(CASE WHEN {SQL_DOT.format(a=vec, b=_plane_sql(p))} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(bits) + ")::BIGINT"
+
+
+def _emb_near_dup_sql(threshold: float, dim: int, n_bits: int, n_tables: int, seed: int) -> str:
+    tables = "\n  UNION ALL ".join(
+        f"SELECT {t} AS tbl, vec_id, {_bucket_sql(dim, n_bits, seed + 1000003 * t)} AS bucket "
+        "FROM embeddings"
+        for t in range(n_tables)
+    )
+    cos = (
+        SQL_DOT.format(a="ea.embedding", b="eb.embedding")
+        + f" / (sqrt({SQL_DOT.format(a='ea.embedding', b='ea.embedding')})"
+        + f" * sqrt({SQL_DOT.format(a='eb.embedding', b='eb.embedding')}))"
+    )
+    return f"""
+WITH bt AS (
+  {tables}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bt a JOIN bt b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, {cos} AS cos_sim
+FROM cand JOIN embeddings ea ON ea.vec_id = id_a JOIN embeddings eb ON eb.vec_id = id_b
+WHERE {cos} >= {threshold}
+"""
+
+
+@q("embedding_near_dups", _emb_near_dup_sql(0.42, 64, 4, 2, 42))
+def embedding_near_dups_q(spark, sf_dir):
+    """Embedding near-dup pairs via multi-table hyperplane LSH (the default
+    scale path of operators/dedup.embedding_near_dups — never corpus^2).
+    FULL oracle: the hyperplanes are deterministic literals embedded in both
+    plans, so DuckDB reproduces buckets, candidates, and cosines exactly."""
+    from .operators.dedup import embedding_near_dups as ed
+
+    e = load(spark, sf_dir, "embeddings")
+    return ed(e, threshold=0.42, dim=64, n_bits=4, n_tables=2, seed=42)
+
+
+def _lsh_ann_sql(k: int, n_bits: int, seed: int, dim: int) -> str:
+    cos = (
+        SQL_DOT.format(a="q.qe", b="c.embedding")
+        + f" / (sqrt({SQL_DOT.format(a='q.qe', b='q.qe')})"
+        + f" * sqrt({SQL_DOT.format(a='c.embedding', b='c.embedding')}))"
+    )
+    return f"""
+WITH cb AS (
+  SELECT vec_id, embedding, {_bucket_sql(dim, n_bits, seed)} AS bucket FROM embeddings
+), qb AS (
+  SELECT vec_id AS q_id, embedding AS qe, bucket FROM cb WHERE vec_id < 10
+), pairs AS (
+  SELECT q.q_id, c.vec_id, {cos} AS cos_sim
+  FROM qb q JOIN cb c ON c.bucket = q.bucket AND c.vec_id != q.q_id
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS r
+  FROM pairs
+)
+SELECT q_id, r AS rank, vec_id, cos_sim FROM rk WHERE r <= {k}
+"""
+
+
+# upgrade lsh_ann from rows-only to a FULL oracle (deterministic literal
+# hyperplanes are SQL-expressible) — replaces the round-1 rows-only entry
+@q("lsh_ann", _lsh_ann_sql(5, 6, 42, 64))
+def lsh_ann_oracle(spark, sf_dir):
+    """LSH-bucketed approximate NN (operators/similarity.py scale path),
+    now with a full DuckDB oracle reproducing buckets + cosines exactly."""
+    from .operators.similarity import lsh_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    q_ = e.filter(F.col("vec_id") < 10)
+    res = lsh_topk(e, q_, dim=64, k=5, n_bits=6, seed=42)
+    return res.select("q_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cos_sim")
+
+
+# ----------------------------------------------------- rank correlation
+
+SQL_SPEARMAN = (
+    SQL_LI
+    + """
+, r AS (
+  SELECT l_returnflag,
+         2 * rank() OVER (PARTITION BY l_returnflag ORDER BY q)
+           + COUNT(*) OVER (PARTITION BY l_returnflag, q) - 1 AS rx,
+         2 * rank() OVER (PARTITION BY l_returnflag ORDER BY d_c)
+           + COUNT(*) OVER (PARTITION BY l_returnflag, d_c) - 1 AS ry
+  FROM li
+), s AS (
+  SELECT l_returnflag, COUNT(*)::BIGINT AS n,
+         SUM(rx)::BIGINT AS sx, SUM(rx * rx)::BIGINT AS sxx,
+         SUM(ry)::BIGINT AS sy, SUM(ry * ry)::BIGINT AS syy,
+         SUM(rx * ry)::BIGINT AS sxy
+  FROM r GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (n * sxy - sx * sy)::DOUBLE
+         / (sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE))
+         AS spearman_q_disc
+FROM s
+"""
+)
+
+
+@q("spearman_correlation", SQL_SPEARMAN)
+def spearman_correlation(spark, sf_dir):
+    """Spearman rank correlation (caits/eda/correlation.py:35-65, the
+    method='spearman' branch): average-rank ties via the integer identity
+    2*avg_rank = 2*rank() + (n_ties - 1) — Pearson is scale-invariant, so
+    doubled ranks give the identical coefficient from EXACT integer sums.
+    (Rank sums overflow int64 around n~1e7 rows per group — at engine scale
+    rank correlation runs on per-window aggregates, not raw points.)"""
+    li = _li(spark, sf_dir)
+    rx = (
+        2 * F.rank().over(Window.partitionBy("l_returnflag").orderBy("q"))
+        + F.count("*").over(Window.partitionBy("l_returnflag", "q"))
+        - 1
+    ).cast("long")
+    ry = (
+        2 * F.rank().over(Window.partitionBy("l_returnflag").orderBy("d_c"))
+        + F.count("*").over(Window.partitionBy("l_returnflag", "d_c"))
+        - 1
+    ).cast("long")
+    r = li.select("l_returnflag", rx.alias("rx"), ry.alias("ry"))
+    s = r.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "syy", "sxy"])
+    rho = (n * sxy - sx * sy).cast("double") / (
+        F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt((n * syy - sy * sy).cast("double"))
+    )
+    return s.select("l_returnflag", "n", rho.alias("spearman_q_disc"))
+
+
+def _pair_corr_sql(x: str, y: str) -> str:
+    # mean-based form in doubles: the n*sxx-sx*sx integer form overflows
+    # int64 for price-scale features; every double op below is a single
+    # deterministic IEEE operation on exact integer sums, mirrored
+    # operation-for-operation in the Spark plan -> bitwise-identical
+    return (
+        f"(s_{x}{y}::DOUBLE - ((n::DOUBLE * (s_{x}::DOUBLE / n::DOUBLE)) * (s_{y}::DOUBLE / n::DOUBLE))) / "
+        f"(sqrt(s_{x}{x}::DOUBLE - ((n::DOUBLE * (s_{x}::DOUBLE / n::DOUBLE)) * (s_{x}::DOUBLE / n::DOUBLE))) * "
+        f"sqrt(s_{y}{y}::DOUBLE - ((n::DOUBLE * (s_{y}::DOUBLE / n::DOUBLE)) * (s_{y}::DOUBLE / n::DOUBLE))))"
+    )
+
+
+_HC_COLS = ["q", "p_k", "d_c", "t_c"]
+_HC_PAIRS = [(a, b) for i, a in enumerate(_HC_COLS) for b in _HC_COLS[i + 1 :]]
+
+SQL_HIGH_CORR = (
+    SQL_LI
+    + """
+, lik AS (
+  SELECT q, p_c // 1000 AS p_k, d_c, t_c FROM li
+), s AS (
+  SELECT COUNT(*)::BIGINT AS n,
+"""
+    + ",\n".join(f"         SUM({c})::BIGINT AS s_{c}" for c in _HC_COLS)
+    + ",\n"
+    + ",\n".join(
+        f"         SUM({a} * {b})::BIGINT AS s_{a}{b}"
+        for a in _HC_COLS
+        for b in _HC_COLS
+        if _HC_COLS.index(a) <= _HC_COLS.index(b)
+    )
+    + """
+  FROM lik
+), u AS (
+"""
+    + "\n  UNION ALL ".join(
+        f"SELECT '{a}' AS feat_a, '{b}' AS feat_b, {_pair_corr_sql(a, b)} AS corr FROM s"
+        for a, b in _HC_PAIRS
+    )
+    + """
+)
+SELECT feat_a, feat_b, corr FROM u WHERE abs(corr) >= 0.001
+"""
+)
+
+
+@q("high_corr_pairs", SQL_HIGH_CORR)
+def high_corr_pairs(spark, sf_dir):
+    """get_high_corr_features (caits/eda/correlation.py:66-85): all pairwise
+    Pearson correlations over numeric features in ONE aggregate (exact
+    integer power sums; price bucketed to avoid int64 overflow in the
+    squared sums), unpivoted, filtered on |corr| >= threshold."""
+    li = _li(spark, sf_dir).select(
+        "q", F.expr("p_c div 1000").alias("p_k"), "d_c", "t_c"
+    )
+    aggs = [F.count("*").alias("n")]
+    aggs += [F.sum(F.col(c)).alias(f"s_{c}") for c in _HC_COLS]
+    aggs += [
+        F.sum(F.col(a) * F.col(b)).alias(f"s_{a}{b}")
+        for a in _HC_COLS
+        for b in _HC_COLS
+        if _HC_COLS.index(a) <= _HC_COLS.index(b)
+    ]
+    s = li.agg(*aggs)
+
+    def pair_corr(a: str, b: str):
+        n = F.col("n").cast("double")
+        mx = F.col(f"s_{a}").cast("double") / n
+        my = F.col(f"s_{b}").cast("double") / n
+        num = F.col(f"s_{a}{b}").cast("double") - ((n * mx) * my)
+        da = F.sqrt(F.col(f"s_{a}{a}").cast("double") - ((n * mx) * mx))
+        db = F.sqrt(F.col(f"s_{b}{b}").cast("double") - ((n * my) * my))
+        return num / (da * db)
+
+    rows = [
+        F.struct(F.lit(a).alias("feat_a"), F.lit(b).alias("feat_b"), pair_corr(a, b).alias("corr"))
+        for a, b in _HC_PAIRS
+    ]
+    u = s.select(F.explode(F.array(*rows)).alias("r")).select("r.feat_a", "r.feat_b", "r.corr")
+    return u.filter(F.abs(F.col("corr")) >= 0.001)

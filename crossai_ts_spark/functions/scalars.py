@@ -54,14 +54,20 @@ def mel_to_hz_htk(m: Column) -> Column:
 def normalize_tokens(df: DataFrame) -> DataFrame:
     """x / max(|x|) per doc, inside the array cell (narrow, no window).
 
-    NB: Catalyst may inline `_mx` into the per-element lambda (no CSE across
-    a lambda boundary), making this O(n^2) per doc — fine for short docs;
-    at engine scale normalization rides inside the pandas cascade kernel.
+    O(n) per doc: Catalyst inlines projected columns into HOF lambdas (no
+    CSE across a lambda boundary), so referencing the max from inside
+    ``transform`` re-evaluates array_max PER ELEMENT — O(n^2). Instead the
+    max is materialized once per row as the denominator array of a
+    ``zip_with``: array_repeat is a plain (non-lambda) expression, so its
+    array_max child is evaluated exactly once per row.
     """
-    return (
-        df.withColumn("_mx", F.expr("cast(array_max(transform(tokens, y -> abs(y))) as double)"))
-        .withColumn("tokens_norm", F.expr("transform(tokens, x -> cast(x as double) / _mx)"))
-        .drop("_mx")
+    return df.withColumn(
+        "tokens_norm",
+        F.expr(
+            "zip_with(tokens, "
+            "array_repeat(cast(array_max(transform(tokens, y -> abs(y))) as double), size(tokens)), "
+            "(x, m) -> cast(x as double) / m)"
+        ),
     )
 
 

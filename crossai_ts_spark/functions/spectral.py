@@ -122,12 +122,13 @@ def rolling_rms_np(x: np.ndarray, frame_length: int, hop: int) -> np.ndarray:
 
 def rolling_zcr_np(x: np.ndarray, frame_length: int, hop: int) -> np.ndarray:
     """Edge-padded centered rolling zero-crossing rate
-    (caits/properties.py:175-223)."""
+    (caits/properties.py:175-223): sign changes are counted only WITHIN each
+    frame (frame_length-1 diff slots, never across the frame boundary) and
+    divided by frame_length — matching the reference's
+    ``np.diff(np.signbit(frames))`` semantics."""
     x = np.asarray(x, dtype=np.float64)
     pad = frame_length // 2
     xp = np.pad(x, pad, mode="edge")
-    sign = np.signbit(xp)
-    cross = (sign[1:] != sign[:-1]).astype(np.float64)
-    cross = np.append(cross, 0.0)
-    sw = np.lib.stride_tricks.sliding_window_view(cross, frame_length)[::hop]
-    return sw.mean(axis=1)
+    frames = np.lib.stride_tricks.sliding_window_view(xp, frame_length)[::hop]
+    cross = np.abs(np.diff(np.signbit(frames), axis=1)).sum(axis=1)
+    return cross / float(frame_length)

@@ -66,8 +66,16 @@ def minhash_signatures(sh: DataFrame, k: int = 16, prime: int = 2147483647) -> D
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame, k: int = 16, band_size: int = 2) -> DataFrame:
-    """Band the signature, bucket-join, emit candidate pairs (a < b)."""
+def lsh_candidate_pairs(
+    sig: DataFrame, k: int = 16, band_size: int = 2, max_bucket: int = 1000
+) -> DataFrame:
+    """Band the signature, bucket-join, emit candidate pairs (a < b).
+
+    Degenerate buckets (> max_bucket docs — e.g. a corpus full of identical
+    boilerplate) would emit O(bucket^2) join rows; they are dropped before
+    the self-join. Such docs are near-identical and caught by exact dedup;
+    the cap turns a quadratic blow-up into a bounded per-bucket cost.
+    """
     n_bands = k // band_size
     bands = F.array(
         *[
@@ -83,6 +91,9 @@ def lsh_candidate_pairs(sig: DataFrame, k: int = 16, band_size: int = 2) -> Data
     bt = sig.select("doc_id", F.explode(bands).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    if max_bucket is not None:
+        sizes = bt.groupBy("band", "key").agg(F.count("*").alias("_bn"))
+        bt = bt.join(sizes.filter(F.col("_bn") <= max_bucket), ["band", "key"]).drop("_bn")
     a = bt.alias("a")
     b = bt.alias("b")
     return (
@@ -93,8 +104,21 @@ def lsh_candidate_pairs(sig: DataFrame, k: int = 16, band_size: int = 2) -> Data
     )
 
 
-def ngram_jaccard_pairs(sh: DataFrame, threshold: float = 0.8) -> DataFrame:
-    """Jaccard over shingle sets for candidate pairs sharing >= 1 shingle."""
+def ngram_jaccard_pairs(
+    sh: DataFrame, threshold: float = 0.8, max_df: int = 1000
+) -> DataFrame:
+    """Jaccard over the df-capped shingle universe for candidate pairs.
+
+    A shingle present in d docs emits d^2 self-join rows, so near-universal
+    shingles (web boilerplate) make the naive join quadratic. Standard cap:
+    drop shingles with document frequency > max_df FIRST, then compute both
+    the candidate commons AND the per-doc set sizes over the surviving
+    shingles — Jaccard is exact over the capped universe, and the join cost
+    is bounded by max_df^2 per shingle.
+    """
+    if max_df is not None:
+        dfreq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
+        sh = sh.join(dfreq.filter(F.col("_df") <= max_df), "sh").drop("_df")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -138,18 +162,66 @@ def simhash_signatures(sh: DataFrame, bits: int = 32) -> DataFrame:
     return votes.select("doc_id", sig.alias("simhash"))
 
 
-def embedding_near_dups(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Cosine near-dup pairs above threshold (brute force; swap in the LSH
-    path of operators/similarity.py for the 10^12 design point)."""
+def _cos_pairs(pairs: DataFrame, threshold: float) -> DataFrame:
     dot = (
         "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
         "cast(0.0 as double), (acc, v) -> acc + v)"
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     cos = (
         F.expr(dot.format(a="ea", b="eb"))
         / (F.sqrt(F.expr(dot.format(a="ea", b="ea"))) * F.sqrt(F.expr(dot.format(a="eb", b="eb"))))
     )
     return pairs.select("id_a", "id_b", cos.alias("cos_sim")).filter(F.col("cos_sim") >= threshold)
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    max_bucket: int = 10000,
+    exact: bool = False,
+) -> DataFrame:
+    """Cosine near-dup pairs above threshold.
+
+    Default path: multi-table random-hyperplane LSH — each vector hashed
+    into `n_tables` independent sign-bucket tables; candidate pairs share a
+    bucket in ANY table (the multi-probe analogue: a pair split by one
+    hyperplane set still collides in another table). Only within-bucket
+    pairs are scored, so cost is sum(bucket^2) per table, never corpus^2;
+    degenerate buckets are capped at max_bucket (identical vectors — exact
+    dedup's job). Recall for cos >= 0.95 pairs with 8-bit tables is
+    (1 - (1-p^8)^4), p = 1 - acos(0.95)/pi ~ 0.9, i.e. ~97%.
+
+    exact=True keeps the brute-force cross join (test/oracle sizes only).
+    """
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    if exact:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        return _cos_pairs(pairs, threshold)
+
+    from .similarity import lsh_bucket
+
+    base = emb.select("vec_id", "embedding")
+    tabs = None
+    for t in range(n_tables):
+        bt = lsh_bucket(base, dim, n_bits, seed + 1000003 * t).select(
+            F.lit(t).alias("tbl"), "vec_id", "bucket"
+        )
+        tabs = bt if tabs is None else tabs.unionByName(bt)
+    if max_bucket is not None:
+        sizes = tabs.groupBy("tbl", "bucket").agg(F.count("*").alias("_bn"))
+        tabs = tabs.join(sizes.filter(F.col("_bn") <= max_bucket), ["tbl", "bucket"]).drop("_bn")
+    ta = tabs.alias("a")
+    tb = tabs.alias("b")
+    cand = (
+        ta.join(tb, ["tbl", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    pairs = cand.join(a, "id_a").join(b, "id_b")
+    return _cos_pairs(pairs, threshold)

@@ -219,7 +219,13 @@ def rollup_long(
     hash aggregation combines map-side so the exchange carries only window
     rows, not samples. Used after gap-fill and as a cross-check of the
     narrow paths.
+
+    t_sum keeps the value column's native numeric family: integral inputs
+    sum as long (exact); floating inputs (e.g. linear gap-fill output) sum
+    as double — casting those to long per row would silently truncate.
     """
+    integral = dict(df_long.dtypes).get(value) in ("tinyint", "smallint", "int", "bigint")
+    sum_col = F.sum(F.col(value).cast("long" if integral else "double")).alias("t_sum")
     win = (F.col("offset") / F.lit(w)).cast("long")
     g = (
         df_long.filter(F.col(value).isNotNull())
@@ -227,7 +233,7 @@ def rollup_long(
         .agg(
             F.min(value).alias("t_min"),
             F.max(value).alias("t_max"),
-            F.sum(F.col(value).cast("long")).alias("t_sum"),
+            sum_col,
             F.count(value).alias("t_cnt"),
             F.max_by(value, "offset").alias("t_last"),
         )

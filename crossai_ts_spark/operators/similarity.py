@@ -57,10 +57,12 @@ def lsh_bucket(df: DataFrame, dim: int, n_bits: int = 8, seed: int = 42,
     planes = _hyperplanes(dim, n_bits, seed)
     bucket = None
     for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        dot = F.expr(
-            _DOT.format(a=vec, b=f"array({', '.join(repr(float(x)) for x in p)})")
-        )
+        # explicit cast per literal: repr() round-trips the float64 exactly
+        # and the cast pins the array element type to double (a bare
+        # fractional literal would parse as decimal and force an implicit
+        # array-wide type unification)
+        lits = ", ".join(f"cast({float(x)!r} as double)" for x in p)
+        dot = F.expr(_DOT.format(a=vec, b=f"array({lits})"))
         bit = F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bit if bucket is None else bucket + bit
     return df.withColumn("bucket", bucket)

@@ -80,7 +80,21 @@ def commit_bucket(
     """Materialize one bucket's tier rows with the atomic commit protocol.
 
     Returns the manifest payload (also written to disk).
+
+    The atomic-rename commit requires a DRIVER-LOCAL posix path: Spark
+    writes the parquet, but validation + rename run through os/shutil on
+    the driver. Remote URIs (hdfs://, s3a://, ...) need the Hadoop
+    FileSystem API or Iceberg snapshot commits instead — rejected here
+    rather than silently producing a directory the executors can't see.
     """
+    scheme = out_dir.split("://", 1)[0] if "://" in out_dir else "file"
+    if scheme != "file":
+        raise ValueError(
+            f"commit_bucket requires a driver-local posix path, got scheme "
+            f"'{scheme}://' — use Iceberg snapshot commits (or a Hadoop "
+            f"FileSystem rename job) for remote stores"
+        )
+    out_dir = out_dir.removeprefix("file://")
     t0 = time.monotonic()
     tmp_dir = os.path.join(out_dir, "_tmp", f"bucket={bucket}")
     final_dir = os.path.join(out_dir, "data", f"bucket={bucket}")

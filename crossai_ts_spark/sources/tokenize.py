@@ -58,4 +58,8 @@ def tokenize_documents(docs: DataFrame) -> DataFrame:
             )
             yield out[out["n_tok"] > 0]
 
-    return docs.select("doc_id", "text", "source").mapInPandas(kernel, schema=SEQUENCES_SCHEMA)
+    return (
+        docs.select("doc_id", "text", "source")
+        .filter(F.col("text").isNotNull())  # null text would raise in .encode()
+        .mapInPandas(kernel, schema=SEQUENCES_SCHEMA)
+    )

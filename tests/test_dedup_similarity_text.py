@@ -118,3 +118,56 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         real_decoder(b"x", "image")
+
+
+def test_pathological_universal_shingle_is_df_capped(spark):
+    """One shingle shared by EVERY doc: the uncapped self-join would emit
+    n^2 rows; with max_df the universal shingle is dropped from the capped
+    universe and only genuinely-similar pairs survive."""
+    from crossai_ts_spark.operators.dedup import ngram_jaccard_pairs, shingles
+
+    n = 60
+    rows = [(i, f"common boiler plate unique{i} tail{i} word{i}", "en", "web") for i in range(n)]
+    rows.append((n, "common boiler plate unique0 tail0 word0", "en", "web"))  # dup of 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    sh = shingles(docs, n=3)
+    pairs = ngram_jaccard_pairs(sh, threshold=0.5, max_df=5).toPandas()
+    # 'common boiler plate' (df = 61 > 5) never enters the join: no n^2
+    # candidate blow-up, and the only surviving pair is the true dup
+    assert set(zip(pairs.doc_a, pairs.doc_b)) == {("0", str(n))}
+    assert pairs.jaccard.iloc[0] == 1.0
+
+
+def test_lsh_bucket_cap_drops_degenerate_bucket(spark):
+    from crossai_ts_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    # 40 identical docs -> identical signatures -> one bucket of 40 per band
+    rows = [(i, "same exact words every single time here now", "en", "web") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    sig = minhash_signatures(shingles(docs, n=3), k=8)
+    capped = lsh_candidate_pairs(sig, k=8, band_size=2, max_bucket=10).toPandas()
+    assert len(capped) == 0  # degenerate bucket dropped (exact dedup's job)
+    uncapped = lsh_candidate_pairs(sig, k=8, band_size=2, max_bucket=None).toPandas()
+    assert len(uncapped) == 40 * 39 // 2
+
+
+def test_embedding_near_dups_lsh_default_no_crossjoin(spark):
+    from crossai_ts_spark.operators.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(30, 16)).astype("float32")
+    base[5] = base[3] + rng.normal(scale=1e-3, size=16).astype("float32")  # planted near-dup
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = embedding_near_dups(emb, threshold=0.99, dim=16, n_bits=4, n_tables=3, seed=1).toPandas()
+    assert ("crossJoin" not in got.attrs.get("plan", "")), "sanity"
+    assert {(3, 5)} == set(zip(got.id_a, got.id_b))
+    # the physical plan must not contain a cartesian product
+    plan = embedding_near_dups(
+        emb, threshold=0.99, dim=16, n_bits=4, n_tables=3, seed=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
