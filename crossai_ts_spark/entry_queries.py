@@ -2007,3 +2007,86 @@ def high_corr_pairs(spark, sf_dir):
     ]
     u = s.select(F.explode(F.array(*rows)).alias("r")).select("r.feat_a", "r.feat_b", "r.corr")
     return u.filter(F.abs(F.col("corr")) >= 0.001)
+
+
+# -------------------------------------------------- Butterworth (full oracle)
+
+
+def _sosfilt_chk_sql(sos, quantize: int = 1024) -> str:
+    """DuckDB expression: fold each doc's token list through the DF2T biquad
+    cascade (zero initial state, EXACT op order of functions/iir.sosfilt)
+    accumulating sum(floor(y*Q)). Struct-typed fold state carries the 2
+    states per section + the checksum; coefficient literals are repr()'d
+    float64 so both engines compute identical IEEE doubles."""
+
+    def lit(v: float) -> str:
+        return f"({float(v)!r})::DOUBLE"
+
+    ns = len(sos)
+    # accumulator is a LIST [z1_0, z2_0, z1_1, z2_1, ..., chk] (1-indexed):
+    # DuckDB 1.0's list_reduce mutates a STRUCT accumulator field-by-field
+    # during the lambda (later fields read already-updated earlier fields —
+    # verified with a minimal repro), while a fresh list literal is built
+    # from the OLD accumulator only. The Spark-side kernel semantics need
+    # old-state reads, so the list form is the correct encoding.
+    def z1(s: int) -> str:
+        return f"acc[{2 * s + 1}]"
+
+    def z2(s: int) -> str:
+        return f"acc[{2 * s + 2}]"
+
+    chk_slot = 2 * ns + 1
+    # chained per-section outputs: y_s = b0_s * y_{s-1} + z1_s(old)
+    y = "e[1]"
+    ys = []
+    for s, (b0, b1, b2, _, a1, a2) in enumerate(sos):
+        y = f"({lit(b0)} * {y} + {z1(s)})"
+        ys.append(y)
+    slots = []
+    yin = "e[1]"
+    for s, (b0, b1, b2, _, a1, a2) in enumerate(sos):
+        y_s = ys[s]
+        slots.append(f"{lit(b1)} * {yin} - {lit(a1)} * {y_s} + {z2(s)}")
+        slots.append(f"{lit(b2)} * {yin} - {lit(a2)} * {y_s}")
+        yin = y_s
+    slots.append(f"acc[{chk_slot}] + floor({ys[-1]} * {float(quantize)!r})")
+    zero_list = ", ".join(["0.0::DOUBLE"] * chk_slot)
+    elem_list = ", ".join(["t::DOUBLE"] + ["0.0::DOUBLE"] * (chk_slot - 1))
+    return (
+        f"(list_reduce(list_prepend([{zero_list}], "
+        f"list_transform(toks, t -> [{elem_list}])), "
+        f"(acc, e) -> [{', '.join(slots)}]))[{chk_slot}]::BIGINT"
+    )
+
+
+def _butter_query_sos():
+    from .functions.iir import butter_sos
+
+    return butter_sos(4, 4.0, 32.0, "lowpass")
+
+
+SQL_BUTTER = f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(range(1, length(text) + 1), i -> unicode(text[i])) AS toks
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, {_sosfilt_chk_sql(_butter_query_sos())} AS filt_chk
+FROM tok
+"""
+
+
+@q("butterworth_sosfilt", SQL_BUTTER)
+def butterworth_sosfilt(spark, sf_dir):
+    """True order-4 Butterworth lowpass (analog prototype + bilinear + SOS
+    cascade, caits/filtering.py:72-163 'sosfilt' method), forward pass,
+    quantized checksum per doc. FULL oracle: DuckDB folds the identical
+    biquad recursion with identical literals — bitwise-equal doubles."""
+    from .functions.iir import butterworth_docs
+
+    seqs = tokenize_documents(load(spark, sf_dir, "documents"))
+    out = butterworth_docs(
+        seqs, fs=32.0, filter_type="lowpass", cutoff_freq=4.0, order=4,
+        method="sosfilt", quantize=1024,
+    )
+    return out.select("doc_id", F.col("filt_chk").cast("long").alias("filt_chk"))
