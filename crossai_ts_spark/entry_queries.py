@@ -2090,3 +2090,308 @@ def butterworth_sosfilt(spark, sf_dir):
         method="sosfilt", quantize=1024,
     )
     return out.select("doc_id", F.col("filt_chk").cast("long").alias("filt_chk"))
+
+
+# ------------------------------------------- cubic spline (full oracle)
+
+
+def _spline_oracle_sql(n: int = 8, quantize: float = 1048576.0) -> str:
+    """Unrolled not-a-knot cubic spline (n knots) + integer-grid Hermite
+    evaluation + floor checksum, mirroring functions/spline.spline_chk_scalar
+    OPERATION FOR OPERATION (same literals, same associativity) so the
+    DuckDB doubles are bitwise-identical to the kernel's."""
+    xs = [f"x{i}" for i in range(1, n + 1)]
+    cols = []
+    for i in range(1, n + 1):
+        cols.append(f"MAX(CASE WHEN rn = {i} THEN minute END)::DOUBLE AS x{i}")
+        cols.append(
+            f"MAX(CASE WHEN rn = {i} THEN clicks END)::DOUBLE"
+            f" / MAX(CASE WHEN rn = {i} THEN total END)::DOUBLE AS y{i}"
+        )
+    deriv = []
+    for i in range(1, n):
+        deriv.append(f"x{i+1} - x{i} AS h{i}")
+    for i in range(1, n):
+        deriv.append(f"(y{i+1} - y{i}) / h{i} AS d{i}")
+    # not-a-knot rows (SQL 1-indexed; python p = r-1)
+    sysr = [
+        "h2 AS di1",
+        "h1 + h2 AS up1",
+        "((h1 + 2.0 * (h1 + h2)) * h2 * d1 + h1 * h1 * d2) / (h1 + h2) AS b1",
+    ]
+    for r in range(2, n):
+        sysr += [
+            f"h{r} AS lo{r}",
+            f"2.0 * (h{r-1} + h{r}) AS di{r}",
+            f"h{r-1} AS up{r}",
+            f"3.0 * (h{r} * d{r-1} + h{r-1} * d{r}) AS b{r}",
+        ]
+    sysr += [
+        f"h{n-1} + h{n-2} AS lo{n}",
+        f"h{n-2} AS di{n}",
+        f"(h{n-1} * h{n-1} * d{n-2} + (2.0 * (h{n-1} + h{n-2}) + h{n-1}) * h{n-2} * d{n-1})"
+        f" / (h{n-1} + h{n-2}) AS b{n}",
+    ]
+    thomas = ["up1 / di1 AS cp1", "b1 / di1 AS bp1"]
+    for k in range(2, n + 1):
+        thomas.append(f"di{k} - lo{k} * cp{k-1} AS den{k}")
+        if k < n:
+            thomas.append(f"up{k} / den{k} AS cp{k}")
+        thomas.append(f"(b{k} - lo{k} * bp{k-1}) / den{k} AS bp{k}")
+    slopes = [f"bp{n} AS m{n}"]
+    for k in range(n - 1, 0, -1):
+        slopes.append(f"bp{k} - cp{k} * m{k+1} AS m{k}")
+    # per-t interval pick: first j with x_j <= t < x_{j+1}, else n-1
+    iv = "CASE " + " ".join(
+        f"WHEN td < x{j+1} THEN {j}" for j in range(1, n - 1)
+    ) + f" ELSE {n-1} END"
+
+    def pick(pfx: str, off: int = 0) -> str:
+        return (
+            "CASE iv "
+            + " ".join(f"WHEN {j} THEN {pfx}{j + off}" for j in range(1, n))
+            + " END"
+        )
+
+    val = (
+        "(2.0 * s3 - 3.0 * s2 + 1.0) * yi + (s3 - 2.0 * s2 + s) * (mi * hi)"
+        " + (-2.0 * s3 + 3.0 * s2) * yi1 + (s3 - s2) * (mi1 * hi)"
+    )
+    return f"""
+, mb AS (
+  SELECT user_id, minute,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS clicks,
+         COUNT(*)::BIGINT AS total
+  FROM ev GROUP BY user_id, minute
+), rk AS (
+  SELECT user_id, minute, clicks, total,
+         row_number() OVER (PARTITION BY user_id ORDER BY minute) AS rn
+  FROM mb
+), k AS (
+  SELECT user_id, {", ".join(cols)}
+  FROM rk WHERE rn <= {n} GROUP BY user_id HAVING COUNT(*) = {n}
+), c AS (
+  SELECT user_id, {", ".join(xs)}, {", ".join("y%d" % i for i in range(1, n + 1))},
+         {", ".join(deriv)},
+         {", ".join(sysr)},
+         {", ".join(thomas)},
+         {", ".join(slopes)}
+  FROM k
+), pts AS (
+  SELECT *, t::DOUBLE AS td, {iv} AS iv FROM (
+    SELECT c.*, unnest(range(CAST(x1 AS BIGINT), CAST(x{n} AS BIGINT) + 1)) AS t FROM c
+  )
+), ev2 AS (
+  SELECT user_id,
+         (td - ({pick("x")})) / ({pick("h")}) AS s,
+         {pick("y")} AS yi, {pick("y", 1)} AS yi1,
+         {pick("m")} AS mi, {pick("m", 1)} AS mi1,
+         {pick("h")} AS hi
+  FROM pts
+), v AS (
+  SELECT user_id, s, s * s AS s2, s * s * s AS s3, yi, yi1, mi, mi1, hi FROM ev2
+)
+SELECT user_id, SUM(floor(({val}) * {quantize!r}))::BIGINT AS spline_chk
+FROM v GROUP BY user_id
+"""
+
+
+@q("cubic_spline_interp", SQL_EV + _spline_oracle_sql(8))
+def cubic_spline_interp(spark, sf_dir):
+    """Not-a-knot cubic spline (caits/performance/utils.py:51-107 /
+    scipy.CubicSpline default) through each user's first 8 minute-bucket
+    click-rates, evaluated on the integer minute grid, floor-checksummed.
+    FULL oracle: the DuckDB side unrolls the identical Thomas solve."""
+    from .functions.spline import spline_chk_scalar
+
+    ev = _ev(spark, sf_dir)
+    mb = ev.groupBy("user_id", "minute").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).cast("long").alias("clicks"),
+        F.count("*").cast("long").alias("total"),
+    )
+    g = mb.groupBy("user_id").agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("minute", "clicks", "total"))), 1, 8
+        ).alias("k"),
+        F.count("*").alias("nmin"),
+    ).filter(F.col("nmin") >= 8)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            uids, chks = [], []
+            for uid, knots in zip(pdf["user_id"], pdf["k"]):
+                xs = [float(kk["minute"]) for kk in knots]
+                ys = [float(kk["clicks"]) / float(kk["total"]) for kk in knots]
+                uids.append(uid)
+                chks.append(int(spline_chk_scalar(xs, ys, 1048576.0)))
+            yield pd.DataFrame({"user_id": uids, "spline_chk": chks})
+
+    return g.select("user_id", "k").mapInPandas(kernel, schema="user_id long, spline_chk long")
+
+
+# ---------------------------------- event classification metrics (EP3 tail)
+
+SQL_EVENT_CLS = (
+    SQL_EV
+    + """
+, pe AS (
+  SELECT user_id, event_type AS lbl, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id, event_type ORDER BY us, event_id)
+                   > 21600000000 OR
+                   lag(us) OVER (PARTITION BY user_id, event_type ORDER BY us, event_id) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM ev WHERE event_type IN ('click', 'purchase')
+), pg AS (
+  SELECT user_id, lbl, us,
+         SUM(brk) OVER (PARTITION BY user_id, lbl ORDER BY us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM pe
+), pred AS (
+  SELECT user_id, lbl, MIN(us) AS s, MAX(us) AS e FROM pg GROUP BY user_id, lbl, grp
+), ge AS (
+  SELECT user_id, event_type,
+         CASE event_type WHEN 'error' THEN 'click' ELSE 'purchase' END AS lbl, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id, event_type ORDER BY us, event_id)
+                   > 21600000000 OR
+                   lag(us) OVER (PARTITION BY user_id, event_type ORDER BY us, event_id) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM ev WHERE event_type IN ('error', 'view')
+), gg AS (
+  SELECT user_id, event_type, lbl, us,
+         SUM(brk) OVER (PARTITION BY user_id, event_type ORDER BY us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM ge
+), gt AS (
+  SELECT user_id, lbl, MIN(us) AS s, MAX(us) AS e FROM gg GROUP BY user_id, event_type, grp, lbl
+), pairs AS (
+  SELECT p.user_id, p.s AS ps, p.lbl AS plbl, g.s AS gs, g.lbl AS glbl,
+         CASE WHEN (p.e - p.s) + (g.e - g.s)
+                   - greatest(0, least(p.e, g.e) - greatest(p.s, g.s)) > 0
+              THEN greatest(0, least(p.e, g.e) - greatest(p.s, g.s))::DOUBLE
+                   / ((p.e - p.s) + (g.e - g.s)
+                      - greatest(0, least(p.e, g.e) - greatest(p.s, g.s)))::DOUBLE
+              ELSE 0.0 END AS iou
+  FROM pred p LEFT JOIN gt g ON p.user_id = g.user_id
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, plbl, ps
+                               ORDER BY iou DESC, gs, glbl) AS rk
+  FROM pairs
+), cls AS (
+  SELECT CASE WHEN iou IS NULL OR iou = 0.0 THEN 'I'
+              WHEN iou < 0.25 THEN 'D'
+              WHEN plbl = glbl THEN 'C'
+              ELSE 'S' END AS c
+  FROM best WHERE rk = 1
+), cnt AS (
+  SELECT SUM(CASE WHEN c = 'C' THEN 1 ELSE 0 END)::BIGINT AS corrects,
+         SUM(CASE WHEN c = 'D' THEN 1 ELSE 0 END)::BIGINT AS deletions,
+         SUM(CASE WHEN c = 'S' THEN 1 ELSE 0 END)::BIGINT AS substitutions,
+         SUM(CASE WHEN c = 'I' THEN 1 ELSE 0 END)::BIGINT AS insertions
+  FROM cls
+)
+SELECT corrects, deletions, substitutions, insertions,
+       CASE WHEN deletions + corrects + substitutions > 0
+            THEN corrects::DOUBLE / (deletions + corrects + substitutions)::DOUBLE
+            ELSE 0.0 END AS detection_ratio,
+       CASE WHEN corrects + insertions > 0
+            THEN corrects::DOUBLE / (corrects + insertions)::DOUBLE
+            ELSE 0.0 END AS reliability,
+       CASE WHEN deletions + corrects + substitutions > 0
+            THEN (deletions + insertions + substitutions)::DOUBLE
+                 / (deletions + corrects + substitutions)::DOUBLE
+            ELSE 0.0 END AS erer
+FROM cnt
+"""
+)
+
+
+@q("event_classification", SQL_EVENT_CLS)
+def event_classification(spark, sf_dir):
+    """classify_events + detection_ratio/reliability/erer
+    (caits/performance/detection.py:98-156, metrics.py:103-147) as ONE lazy
+    plan: labeled pred/gt islands, per-pred best-IoU gt (argmax with
+    deterministic tiebreak), C/D/S/I counts, the three metrics. IoU_th=0.25."""
+    ev = _ev(spark, sf_dir)
+
+    def islands(types, mapped: dict | None = None):
+        e = ev.filter(F.col("event_type").isin(*types))
+        w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+        e = e.withColumn(
+            "brk",
+            F.when(
+                (F.col("us") - F.lag("us").over(w) > 21600000000)
+                | F.lag("us").over(w).isNull(),
+                1,
+            ).otherwise(0),
+        )
+        wg = (
+            Window.partitionBy("user_id", "event_type")
+            .orderBy("us")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        e = e.withColumn("grp", F.sum("brk").over(wg))
+        lbl = F.col("event_type")
+        if mapped is not None:
+            lbl = F.when(F.col("event_type") == "error", "click").otherwise("purchase")
+        return (
+            e.groupBy("user_id", "event_type", "grp")
+            .agg(F.min("us").alias("s"), F.max("us").alias("e"), F.first(lbl).alias("_l"))
+            .select("user_id", F.col("_l").alias("lbl"), "s", "e")
+        )
+
+    pred = islands(["click", "purchase"]).alias("p")
+    gt = islands(["error", "view"], mapped={}).alias("g")
+    inter = F.greatest(
+        F.lit(0), F.least(F.col("p.e"), F.col("g.e")) - F.greatest(F.col("p.s"), F.col("g.s"))
+    )
+    union = (F.col("p.e") - F.col("p.s")) + (F.col("g.e") - F.col("g.s")) - inter
+    iou = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    pairs = pred.join(gt, F.col("p.user_id") == F.col("g.user_id"), "left").select(
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.s").alias("ps"),
+        F.col("p.lbl").alias("plbl"),
+        F.col("g.s").alias("gs"),
+        F.col("g.lbl").alias("glbl"),
+        iou.alias("iou"),
+    )
+    w = Window.partitionBy("user_id", "plbl", "ps").orderBy(F.desc("iou"), "gs", "glbl")
+    best = pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    cls = best.select(
+        F.when(F.col("iou").isNull() | (F.col("iou") == 0.0), "I")
+        .when(F.col("iou") < 0.25, "D")
+        .when(F.col("plbl") == F.col("glbl"), "C")
+        .otherwise("S")
+        .alias("c")
+    )
+    cnt = cls.agg(
+        F.sum(F.when(F.col("c") == "C", 1).otherwise(0)).cast("long").alias("corrects"),
+        F.sum(F.when(F.col("c") == "D", 1).otherwise(0)).cast("long").alias("deletions"),
+        F.sum(F.when(F.col("c") == "S", 1).otherwise(0)).cast("long").alias("substitutions"),
+        F.sum(F.when(F.col("c") == "I", 1).otherwise(0)).cast("long").alias("insertions"),
+    )
+    C, D, S, I = (F.col(c) for c in ["corrects", "deletions", "substitutions", "insertions"])
+    dcs = D + C + S
+    return cnt.select(
+        "corrects",
+        "deletions",
+        "substitutions",
+        "insertions",
+        F.when(dcs > 0, C.cast("double") / dcs.cast("double")).otherwise(0.0).alias("detection_ratio"),
+        F.when(C + I > 0, C.cast("double") / (C + I).cast("double")).otherwise(0.0).alias("reliability"),
+        F.when(dcs > 0, (D + I + S).cast("double") / dcs.cast("double")).otherwise(0.0).alias("erer"),
+    )
+
+
+@q("ep3_pipeline", None)
+def ep3_pipeline_q(spark, sf_dir):
+    """EP3 robustness pipeline end-to-end (caits/performance/evaluation.py:
+    36-222): spline upsample -> Butterworth smooth -> threshold -> islands
+    -> duration -> IoU classify -> DR/reliability/erer, ONE lazy plan.
+    Spline+IIR kernels are not SQL-expressible: rows-only here; each stage
+    is oracle-checked separately (cubic_spline_interp, butterworth_sosfilt,
+    islands*, event_classification) and the chain by pytest."""
+    from .plans.ep3 import ep3_pipeline
+
+    return ep3_pipeline(_ev(spark, sf_dir))
