@@ -228,6 +228,12 @@ def dod_decode(blob: bytes) -> np.ndarray:
 # --------------------------------------------------------- spark surface
 
 
+# Vectorized fast paths (bit-identical to the golden encoders above;
+# verified by tests/test_codecs_fast.py). The golden per-value encoders stay
+# as the reference the fast paths must bit-match.
+from .codecs_fast import dod_decode_fast, dod_encode_fast, gorilla_encode_fast  # noqa: E402
+
+
 def compress_group(pdf: pd.DataFrame, value_col: str = "t_mean") -> pd.DataFrame:
     """One (doc_id, tier) group -> one compressed-segment row.
 
@@ -302,8 +308,8 @@ def compress_tiers(tier_df, value_col: str = "t_mean", partitions: int | None = 
                         np.int32(pdf["tier"].iloc[s]),
                         np.int64(e - s),
                         "gorilla+dod/v1",
-                        dod_encode(offs_all[s:e]),
-                        gorilla_encode(vals_all[s:e]),
+                        dod_encode_fast(offs_all[s:e]),
+                        gorilla_encode_fast(vals_all[s:e]),
                     )
                 )
             return pd.DataFrame(
@@ -377,7 +383,7 @@ def tokens_roundtrip_check(df):
             oks = []
             for toks in pdf["tokens"]:
                 arr = np.asarray(toks, dtype=np.int64)
-                rt = dod_decode(dod_encode(arr))
+                rt = dod_decode_fast(dod_encode_fast(arr))
                 oks.append(bool(np.array_equal(rt, arr)))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "n_tok": pdf["n_tok"], "ok": oks}

@@ -58,8 +58,18 @@ def tokenize_documents(docs: DataFrame) -> DataFrame:
             )
             yield out[out["n_tok"] > 0]
 
-    return (
-        docs.select("doc_id", "text", "source")
-        .filter(F.col("text").isNotNull())  # null text would raise in .encode()
-        .mapInPandas(kernel, schema=SEQUENCES_SCHEMA)
+    base = docs.select("doc_id", "text", "source").filter(
+        F.col("text").isNotNull()  # null text would raise in .encode()
     )
+    # Scan parallelism is proportional to BYTES (maxPartitionBytes), but the
+    # downstream per-doc kernels cost CPU proportional to ROWS — a tiny
+    # single-row-group parquet file puts all 5000 docs on ONE core (measured:
+    # codec_roundtrip 4.7 s -> 0.8 s after spreading). When the source scan
+    # has fewer partitions than the cluster has slots, round-robin the rows
+    # first; at real table sizes the scan already has >= parallelism splits
+    # and this is a no-op.
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    return base.mapInPandas(kernel, schema=SEQUENCES_SCHEMA)
