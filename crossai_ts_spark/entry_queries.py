@@ -2395,3 +2395,187 @@ def ep3_pipeline_q(spark, sf_dir):
     from .plans.ep3 import ep3_pipeline
 
     return ep3_pipeline(_ev(spark, sf_dir))
+
+
+# ------------------------------------- rolling composites (full oracle)
+
+SQL_ROLLING_COMPOSITES = (
+    SQL_PTS
+    + """
+, c AS (
+  SELECT doc_id, off, tok,
+         SUM(tok * tok) OVER (PARTITION BY doc_id ORDER BY off
+                              ROWS BETWEEN 4 PRECEDING AND 3 FOLLOWING) AS s_sq,
+         tok * n_tok - SUM(tok) OVER (PARTITION BY doc_id) AS ctr
+  FROM pts
+), c2 AS (
+  SELECT doc_id, off, s_sq, ctr,
+         lead(ctr) OVER (PARTITION BY doc_id ORDER BY off) AS ctr_next
+  FROM c
+), x AS (
+  SELECT doc_id, off, s_sq,
+         CASE WHEN ctr_next IS NOT NULL AND ((ctr < 0) != (ctr_next < 0))
+              THEN 1 ELSE 0 END AS xing
+  FROM c2
+), fr AS (
+  SELECT doc_id, sqrt(s_sq::DOUBLE / 8.0) AS rms,
+         SUM(xing) OVER (PARTITION BY doc_id ORDER BY off
+                         ROWS BETWEEN 4 PRECEDING AND 2 FOLLOWING) AS zc
+  FROM x
+)
+SELECT doc_id,
+       MAX(rms) AS rms_max, MIN(rms) AS rms_min,
+       SUM(floor(rms * 1048576.0))::BIGINT AS rms_chk,
+       MAX(zc)::DOUBLE / 8.0 AS zcr_max,
+       SUM(zc)::DOUBLE / (COUNT(*)::DOUBLE * 8.0) AS zcr_mean,
+       COUNT(*)::BIGINT AS n_frames
+FROM fr GROUP BY doc_id
+"""
+)
+
+
+@q("rolling_composites", SQL_ROLLING_COMPOSITES)
+def rolling_composites(spark, sf_dir):
+    """rms_max/mean/min + zcr_max/mean composites over centered rolling
+    frames (caits/fe/_statistical.py:252-421 rolling composites; frame=8,
+    hop=1, zero-pad RMS / edge-pad within-frame ZCR over the mean-centered
+    signal). Exact: integer frame sums -> single sqrt/floor/divide; the
+    mean rides as a floor-quantized checksum (a float mean of sqrts would
+    be summation-order-dependent across engines)."""
+    seqs = tokenize_documents(load(spark, sf_dir, "documents"))
+    pts = seqs.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.posexplode("tokens").alias("off", "tok"),
+    ).select("doc_id", "n_tok", F.col("off").cast("long").alias("off"), F.col("tok").cast("long").alias("tok"))
+    wdoc = Window.partitionBy("doc_id")
+    wsq = Window.partitionBy("doc_id").orderBy("off").rowsBetween(-4, 3)
+    wl = Window.partitionBy("doc_id").orderBy("off")
+    c = pts.select(
+        "doc_id",
+        "off",
+        F.sum(F.col("tok") * F.col("tok")).over(wsq).alias("s_sq"),
+        (F.col("tok") * F.col("n_tok") - F.sum("tok").over(wdoc)).alias("ctr"),
+    ).withColumn("ctr_next", F.lead("ctr").over(wl))
+    x = c.select(
+        "doc_id",
+        "off",
+        "s_sq",
+        F.when(
+            F.col("ctr_next").isNotNull() & ((F.col("ctr") < 0) != (F.col("ctr_next") < 0)), 1
+        ).otherwise(0).alias("cross"),
+    )
+    wzc = Window.partitionBy("doc_id").orderBy("off").rowsBetween(-4, 2)
+    fr = x.select(
+        "doc_id",
+        F.sqrt(F.col("s_sq").cast("double") / 8.0).alias("rms"),
+        F.sum("cross").over(wzc).alias("zc"),
+    )
+    return fr.groupBy("doc_id").agg(
+        F.max("rms").alias("rms_max"),
+        F.min("rms").alias("rms_min"),
+        F.sum(F.floor(F.col("rms") * 1048576.0)).cast("long").alias("rms_chk"),
+        (F.max("zc").cast("double") / 8.0).alias("zcr_max"),
+        (F.sum("zc").cast("double") / (F.count("*").cast("double") * 8.0)).alias("zcr_mean"),
+        F.count("*").cast("long").alias("n_frames"),
+    )
+
+
+# -------------------------- codec round-trip: invariant-backed oracle
+# (re-registering the name replaces the round-1 rows-only entry)
+
+
+@q(
+    "codec_roundtrip",
+    """
+SELECT COUNT(*)::BIGINT AS n_docs, COUNT(*)::BIGINT AS n_ok
+FROM documents WHERE length(text) > 0
+""",
+)
+def codec_roundtrip_oracled(spark, sf_dir):
+    """Gorilla/ΔΔ round-trip invariant (north_rule: exact token-array
+    equality). The oracle asserts the INVARIANT: n_ok must equal the doc
+    count — any round-trip corruption on the Spark side breaks the value
+    hash. The codec itself is additionally bit-verified in pytest."""
+    from .functions.codecs import tokens_roundtrip_check
+
+    seqs = tokenize_documents(load(spark, sf_dir, "documents"))
+    res = tokens_roundtrip_check(seqs)
+    return res.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
+    )
+
+
+# ------------------- compressed tiers: decode-verified invariant oracle
+
+SQL_COMPRESSED_TIERS = (
+    SQL_PTS
+    + """
+, t1 AS (
+  SELECT doc_id, (off // 32) * 32 AS window_start,
+         SUM(tok)::DOUBLE / COUNT(*)::DOUBLE AS t_mean
+  FROM pts GROUP BY doc_id, (off // 32) * 32
+), t2 AS (
+  SELECT doc_id, (window_start // 256) * 256 AS window_start
+  FROM t1 GROUP BY doc_id, (window_start // 256) * 256
+), u AS (
+  SELECT 1 AS tier, doc_id, COUNT(*) AS pts FROM t1 GROUP BY doc_id
+  UNION ALL
+  SELECT 2 AS tier, doc_id, COUNT(*) AS pts FROM t2 GROUP BY doc_id
+)
+SELECT tier, COUNT(*)::BIGINT AS n_segments, SUM(pts)::BIGINT AS n_points,
+       SUM(pts)::BIGINT AS n_points_decoded, 0::BIGINT AS value_mismatches
+FROM u GROUP BY tier
+"""
+)
+
+
+@q("compressed_tiers", SQL_COMPRESSED_TIERS)
+def compressed_tiers_oracled(spark, sf_dir):
+    """Compressed tier segments with the decode laps INSIDE the plan:
+    decompress(compress(tiers)) joined back against the original tier rows
+    on (doc_id, tier, window_start) comparing t_mean BITWISE. The oracle
+    pins segment/point counts and asserts decoded-count parity + zero
+    mismatches — codec corruption of any point breaks the hash."""
+    from .functions.codecs import compress_tiers, decompress_tiers
+
+    seqs = tokenize_documents(load(spark, sf_dir, "documents"))
+    tiers = cascade_native(seqs, w=32, fanout=8, tiers=2)
+    segs = compress_tiers(tiers)
+    dec = decompress_tiers(segs).select(
+        "doc_id", "tier", "window_start", F.col("value").alias("dec_val")
+    )
+    j = tiers.select("doc_id", "tier", "window_start", "t_mean").join(
+        dec, ["doc_id", "tier", "window_start"], "full_outer"
+    )
+    return j.groupBy("tier").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_segments"),
+        F.count("t_mean").cast("long").alias("n_points"),
+        F.count("dec_val").cast("long").alias("n_points_decoded"),
+        F.sum(
+            F.when(
+                F.col("t_mean").isNull()
+                | F.col("dec_val").isNull()
+                | (F.col("t_mean") != F.col("dec_val")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("value_mismatches"),
+    )
+
+
+@q("compression_ratio", None)
+def compression_ratio(spark, sf_dir):
+    """Byte-level compression inventory (blob sizes are bitstream facts —
+    not SQL-expressible; counts/values are oracled by compressed_tiers)."""
+    from .functions.codecs import compress_tiers
+
+    seqs = tokenize_documents(load(spark, sf_dir, "documents"))
+    tiers = cascade_native(seqs, w=32, fanout=8, tiers=2)
+    segs = compress_tiers(tiers)
+    return segs.groupBy("tier").agg(
+        F.count("*").alias("n_segments"),
+        F.sum("n_points").alias("n_points"),
+        F.sum(F.octet_length("ts_blob") + F.octet_length("val_blob")).alias("bytes_compressed"),
+        F.sum(F.col("n_points") * 16).alias("bytes_raw"),
+    )

@@ -221,7 +221,8 @@ def hilbert_envelope(x: np.ndarray) -> np.ndarray:
 
 DSP_SCHEMA = (
     "doc_id string, n_frames long, mfcc0_mean double, mfcc1_mean double, "
-    "mel_energy double, envelope_max double, smoothed_rms double"
+    "mel_energy double, envelope_max double, smoothed_rms double, "
+    "mfcc0_std double, mfcc0_min double, mfcc0_max double, delta_rms double"
 )
 
 
@@ -239,6 +240,16 @@ def dsp_features(df: DataFrame, n_fft: int = 128, hop: int = 32) -> DataFrame:
                 mel = melspectrogram(x, 1.0, n_fft, hop, 12)
                 env = hilbert_envelope(x - x.mean())
                 sm = gaussian_filter1d(x, sigma=2.0)
+                # mfcc_stats composite (caits/fe/_spectrum.py:432-462:
+                # per-coefficient mean/std/min/max over frames) + savgol
+                # delta (:465-529) RMS
+                from .spectral2 import savgol_delta
+
+                d = (
+                    savgol_delta(mf[0], width=9, order=1)
+                    if mf.shape[1] >= 9
+                    else np.zeros(1)
+                )
                 rows.append(
                     {
                         "doc_id": doc_id,
@@ -248,6 +259,10 @@ def dsp_features(df: DataFrame, n_fft: int = 128, hop: int = 32) -> DataFrame:
                         "mel_energy": float(mel.sum()),
                         "envelope_max": float(env.max()),
                         "smoothed_rms": float(np.sqrt((sm * sm).mean())),
+                        "mfcc0_std": float(mf[0].std()),
+                        "mfcc0_min": float(mf[0].min()),
+                        "mfcc0_max": float(mf[0].max()),
+                        "delta_rms": float(np.sqrt((d * d).mean())),
                     }
                 )
             yield pd.DataFrame(rows)

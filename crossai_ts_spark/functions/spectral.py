@@ -40,6 +40,11 @@ SPECTRAL_FIELDS = [
     "sp_slope",
     "sp_decrease",
     "sp_rms",
+    "sp_bandwidth",
+    "sp_dominant",
+    "sp_band_low",
+    "sp_band_mid",
+    "sp_band_high",
 ]
 
 SPECTRAL_SCHEMA = "doc_id string, " + ", ".join(f"{f} double" for f in SPECTRAL_FIELDS)
@@ -76,6 +81,19 @@ def spectral_values_np(x: np.ndarray, fs: float = 1.0, rolloff_perc: float = 0.8
     else:
         decrease = float("nan")
     rms = float(np.sqrt(np.mean(x * x)))
+    # round-2 completions: bandwidth (std of normalized power spectrum,
+    # caits/fe/_spectral.py:178-256), Welch dominant frequency
+    # (_statistical.py:542-571), relative band power thirds (:429-496 with
+    # fs-proportional bands)
+    from .spectral2 import band_relative_power, dominant_frequency, spectral_bandwidth
+
+    bw = spectral_bandwidth(x, fs)
+    dom = dominant_frequency(x, fs)
+    nyq = fs / 2.0
+    bands = band_relative_power(
+        x, fs, nperseg_th=min(256, n), noverlap_th=min(128, n // 2),
+        freq_cuts=[(0.0, nyq / 3), (nyq / 3, 2 * nyq / 3), (2 * nyq / 3, nyq)],
+    )
     return {
         "sp_centroid": centroid,
         "sp_rolloff": rolloff,
@@ -87,6 +105,11 @@ def spectral_values_np(x: np.ndarray, fs: float = 1.0, rolloff_perc: float = 0.8
         "sp_slope": slope,
         "sp_decrease": decrease,
         "sp_rms": rms,
+        "sp_bandwidth": bw,
+        "sp_dominant": dom,
+        "sp_band_low": float(bands[0]),
+        "sp_band_mid": float(bands[1]),
+        "sp_band_high": float(bands[2]),
     }
 
 
