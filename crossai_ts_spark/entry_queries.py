@@ -2579,3 +2579,320 @@ def compression_ratio(spark, sf_dir):
         F.sum(F.octet_length("ts_blob") + F.octet_length("val_blob")).alias("bytes_compressed"),
         F.sum(F.col("n_points") * 16).alias("bytes_raw"),
     )
+
+
+# --------------------------------- round-2 augmentation parity queries
+
+SQL_TOKLIST = """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(range(1, length(text) + 1), i -> unicode(text[i])) AS toks,
+         length(text)::BIGINT AS n
+  FROM documents WHERE length(text) > 0
+)
+"""
+
+# DuckDB twin of operators/augment._HASH_U32
+def _duck_u32(i) -> str:
+    return f"('0x' || substr(md5(doc_id || ':' || {i}), 1, 8))::BIGINT"
+
+
+@q(
+    "augment_pool_quantize",
+    SQL_TOKLIST
+    + """
+, f AS (SELECT doc_id, toks, n FROM tok
+        WHERE n >= 2 AND list_aggregate(toks, 'min') < list_aggregate(toks, 'max')),
+p AS (
+  SELECT doc_id,
+    list_transform(range(0, n), i ->
+      list_reduce(list_prepend(0::BIGINT, toks[((i // 4) * 4 + 1):((i // 4) * 4 + 4)]),
+                  (a, v) -> a + v)::DOUBLE
+      / len(toks[((i // 4) * 4 + 1):((i // 4) * 4 + 4)])::DOUBLE) AS pool,
+    list_transform(toks, x ->
+      list_aggregate(toks, 'min')::DOUBLE +
+      floor((x::DOUBLE - list_aggregate(toks, 'min')::DOUBLE)
+            / (list_aggregate(toks, 'max')::DOUBLE - list_aggregate(toks, 'min')::DOUBLE)
+            * 9.0 + 0.5)
+      * (list_aggregate(toks, 'max')::DOUBLE - list_aggregate(toks, 'min')::DOUBLE) / 9.0) AS quant
+  FROM f
+)
+SELECT doc_id,
+  list_reduce(list_prepend(0::BIGINT, list_transform(pool, v -> floor(v * 1048576.0)::BIGINT)),
+              (a, b) -> a + b) AS pool_chk,
+  list_reduce(list_prepend(0::BIGINT, list_transform(quant, v -> floor(v * 1048576.0)::BIGINT)),
+              (a, b) -> a + b) AS quant_chk
+FROM p
+""",
+)
+def augment_pool_quantize(spark, sf_dir):
+    """pool_ts(ave, 4) + quantize_ts(uniform, 10) parity
+    (caits/augmentation/_augment_1d.py:383,:438) — exact: integer window
+    sums / min-max grid, floor-quantized checksums, full oracle."""
+    from .operators.augment import pool_ave, quantize_uniform
+
+    seqs = tokenize_documents(load(spark, sf_dir, "documents")).filter(
+        F.expr("size(tokens) >= 2 AND array_min(tokens) < array_max(tokens)")
+    )
+    chk = "aggregate(transform(tokens_aug, v -> cast(floor(v * 1048576.0) as bigint)), cast(0 as bigint), (a, b) -> a + b)"
+    p = pool_ave(seqs, 4).select("doc_id", F.expr(chk).alias("pool_chk"), "tokens")
+    qn = quantize_uniform(p.select("doc_id", "tokens", "pool_chk"), 10).select(
+        "doc_id", "pool_chk", F.expr(chk).alias("quant_chk")
+    )
+    return qn.select("doc_id", "pool_chk", "quant_chk")
+
+
+@q(
+    "augment_crop_resize",
+    SQL_TOKLIST
+    + f"""
+, f AS (SELECT doc_id, toks, n FROM tok WHERE n >= 32),
+c AS (
+  SELECT doc_id, toks, n,
+         (1 + ({_duck_u32(0)} % greatest(n - 32 + 1, 1)))::BIGINT AS cstart
+  FROM f
+)
+, rz AS (
+  SELECT doc_id, cstart, toks,
+    list_transform(range(0, 64), j ->
+      floor((
+        toks[(floor(j * (n - 1) / 63.0::DOUBLE))::BIGINT + 1]::DOUBLE
+          * (1.0 - (j * (n - 1) / 63.0::DOUBLE - floor(j * (n - 1) / 63.0::DOUBLE)))
+        + toks[least((floor(j * (n - 1) / 63.0::DOUBLE))::BIGINT + 2, n)]::DOUBLE
+          * (j * (n - 1) / 63.0::DOUBLE - floor(j * (n - 1) / 63.0::DOUBLE))
+      ) * 1048576.0)::BIGINT) AS rlist
+  FROM c
+)
+SELECT doc_id,
+  list_reduce(list_prepend(0::BIGINT, toks[cstart:(cstart + 31)]), (a, b) -> a + b) AS crop_sum,
+  list_reduce(list_prepend(0::BIGINT, rlist), (a, b) -> a + b) AS resize_chk
+FROM rz
+""",
+)
+def augment_crop_resize(spark, sf_dir):
+    """crop_ts(32) + resize_ts(64) parity (_augment_1d.py:205,:503):
+    hash-deterministic crop start, linear-interp resize, full oracle."""
+    from .operators.augment import crop_ts, resize_linear
+
+    seqs = tokenize_documents(load(spark, sf_dir, "documents")).filter(
+        F.expr("size(tokens) >= 32")
+    )
+    c = crop_ts(seqs, 32).select(
+        "doc_id",
+        F.expr(
+            "aggregate(tokens_aug, cast(0 as bigint), (a, b) -> a + cast(b as bigint))"
+        ).alias("crop_sum"),
+        "tokens",
+    )
+    r = resize_linear(c.select("doc_id", "tokens", "crop_sum"), 64).select(
+        "doc_id",
+        "crop_sum",
+        F.expr(
+            "aggregate(transform(tokens_aug, v -> cast(floor(v * 1048576.0) as bigint)), "
+            "cast(0 as bigint), (a, b) -> a + b)"
+        ).alias("resize_chk"),
+    )
+    return r
+
+
+def _drift_sql(max_drift: float = 0.5, n_anchors: int = 5) -> str:
+    K = n_anchors - 1
+    walk = ["0.0::DOUBLE"]
+    for j in range(1, n_anchors):
+        walk.append(f"({walk[-1]} + ({_duck_u32(j)} / 4294967296.0 - 0.5))")
+    anchors = "[" + ", ".join(walk) + "]"
+    pos = f"(i * {K}.0::DOUBLE / greatest(n - 1, 1))"
+    j0 = f"least(floor({pos})::BIGINT, {K - 1})"
+    frac = f"({pos} - {j0})"
+    mx = f"list_aggregate(list_transform({anchors}, a -> abs(a)), 'max')"
+    dr = (
+        f"(({anchors})[{j0} + 1] * (1.0 - {frac}) + ({anchors})[{j0} + 2] * {frac})"
+        f" / nullif({mx}, 0.0) * {max_drift}"
+        f" * (list_aggregate(toks, 'max')::DOUBLE - list_aggregate(toks, 'min')::DOUBLE)"
+    )
+    return (
+        SQL_TOKLIST
+        + f"""
+SELECT doc_id,
+  list_reduce(list_prepend(0::BIGINT, list_transform(range(0, n), i ->
+    floor((toks[i + 1]::DOUBLE + {dr}) * 1048576.0)::BIGINT)), (a, b) -> a + b) AS drift_chk
+FROM tok WHERE n >= 2
+"""
+    )
+
+
+@q("augment_drift", _drift_sql())
+def augment_drift(spark, sf_dir):
+    """drift_ts additive parity (_augment_1d.py:259, tsaug Drift): smooth
+    hash-random walk through 5 knots, normalized, scaled by range, added.
+    Full oracle (identical walk in DuckDB)."""
+    from .operators.augment import drift_additive
+
+    seqs = tokenize_documents(load(spark, sf_dir, "documents")).filter(
+        F.expr("size(tokens) >= 2")
+    )
+    d = drift_additive(seqs, max_drift=0.5, n_anchors=5)
+    return d.select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(tokens_aug, v -> cast(floor(v * 1048576.0) as bigint)), "
+            "cast(0 as bigint), (a, b) -> a + b)"
+        ).alias("drift_chk"),
+    )
+
+
+@q(
+    "augment_dropout",
+    SQL_PTS
+    + """
+, d AS (
+  SELECT doc_id, off,
+         CASE WHEN ('0x' || substr(md5(doc_id || ':' || off), 1, 8))::BIGINT
+                   / 4294967296.0 < 0.05
+              THEN NULL ELSE tok END AS v
+  FROM pts
+), f AS (
+  SELECT doc_id, off,
+         coalesce(last_value(v IGNORE NULLS)
+                    OVER (PARTITION BY doc_id ORDER BY off
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS val
+  FROM d
+)
+SELECT doc_id, SUM(val)::BIGINT AS drop_sum,
+       SUM(CASE WHEN val = 0 THEN 0 ELSE 1 END)::BIGINT AS n_nonzero
+FROM f GROUP BY doc_id
+""",
+)
+def augment_dropout(spark, sf_dir):
+    """dropout_ts(p=0.05, fill='ffill') parity (_augment_1d.py:324):
+    hash-deterministic drop positions, forward-fill, leading drops -> 0.
+    Full oracle."""
+    seqs = tokenize_documents(load(spark, sf_dir, "documents"))
+    pts = seqs.select("doc_id", F.posexplode("tokens").alias("off", "tok")).select(
+        "doc_id", F.col("off").cast("long").alias("off"), F.col("tok").cast("long").alias("tok")
+    )
+    u = "conv(substring(md5(cast(concat(doc_id, ':', off) as binary)), 1, 8), 16, 10)"
+    d = pts.withColumn(
+        "v", F.when(F.expr(f"{u} / 4294967296.0") < 0.05, None).otherwise(F.col("tok"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("off").rowsBetween(Window.unboundedPreceding, 0)
+    f = d.withColumn("val", F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(0)))
+    return f.groupBy("doc_id").agg(
+        F.sum("val").cast("long").alias("drop_sum"),
+        F.sum(F.when(F.col("val") == 0, 0).otherwise(1)).cast("long").alias("n_nonzero"),
+    )
+
+
+@q("augment_timewarp_stretch", None)
+def augment_timewarp_stretch(spark, sf_dir):
+    """time_warp_ts + time_stretch_ts + pitch_shift_ts (_augment_1d.py:598,
+    :708,:743) via phase vocoder — FFT/interp kernels, rows-only; kernels
+    numpy-verified in tests/test_dsp2.py."""
+    import pandas as pd
+
+    from .functions.dsp2 import pitch_shift_ts, time_stretch_ts, time_warp_np
+
+    seqs = tokenize_documents(load(spark, sf_dir, "documents"))
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                x = np.asarray(toks, dtype=np.float64)
+                if x.size < 300:
+                    continue
+                seed = int(hashlib_md5_u32(doc_id))
+                tw = time_warp_np(x, seed=seed)
+                st = time_stretch_ts(x, 1.25)
+                ps = pitch_shift_ts(x, sr=1.0, n_steps=2)
+                rows.append(
+                    (
+                        doc_id,
+                        float(np.floor(tw * 1024.0).sum()),
+                        int(st.size),
+                        float(np.floor(st[:64] * 1024.0).sum()),
+                        float(np.floor(ps[:64] * 1024.0).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "warp_chk", "stretch_len", "stretch_chk", "pitch_chk"]
+            )
+
+    return seqs.mapInPandas(
+        kernel,
+        schema="doc_id string, warp_chk double, stretch_len int, stretch_chk double, pitch_chk double",
+    )
+
+
+def hashlib_md5_u32(doc_id: str) -> int:
+    """Same doc-hash family as operators/augment (seed channel ':tw')."""
+    import hashlib
+
+    return int(hashlib.md5(f"{doc_id}:tw".encode()).hexdigest()[:8], 16)
+
+
+@q("pcen_hpss", None)
+def pcen_hpss(spark, sf_dir):
+    """PCEN (caits/fe/_pcen.py) + HPSS (caits/hpss.py) composite per doc —
+    FFT/median kernels, rows-only; numpy-verified in tests/test_dsp2.py."""
+    import pandas as pd
+
+    from .functions.dsp import melspectrogram
+    from .functions.dsp2 import hpss_signal, pcen_base
+
+    seqs = tokenize_documents(load(spark, sf_dir, "documents"))
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                x = np.asarray(toks, dtype=np.float64)
+                if x.size < 256:
+                    continue
+                mel = melspectrogram(x, sr=1.0, n_fft=128, hop=32, n_mels=8)
+                pc = pcen_base(mel, s=0.1)
+                H, P = hpss_signal(x - x.mean(), n_fft=128, hop=32, kernel_size=9)
+                rows.append(
+                    (
+                        doc_id,
+                        float(np.round(pc.mean(), 6)),
+                        float(np.round(np.sqrt((H * H).mean()), 6)),
+                        float(np.round(np.sqrt((P * P).mean()), 6)),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "pcen_mean", "h_rms", "p_rms"])
+
+    return seqs.mapInPandas(
+        kernel, schema="doc_id string, pcen_mean double, h_rms double, p_rms double"
+    )
+
+
+@q("resample_polyphase", None)
+def resample_polyphase(spark, sf_dir):
+    """Polyphase HQ resampling (caits/core/_core_resample.py:14-76, wired
+    into the wav-loader path) — windowed-sinc FIR, rows-only; sinusoid
+    parity in tests/test_dsp2.py."""
+    import pandas as pd
+
+    from .functions.dsp2 import resample_poly
+
+    seqs = tokenize_documents(load(spark, sf_dir, "documents"))
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                x = np.asarray(toks, dtype=np.float64)
+                if x.size < 64:
+                    continue
+                y = resample_poly(x, 2, 3)  # 2/3 rate
+                rows.append((doc_id, int(y.size), float(np.floor(y * 1024.0).sum())))
+            yield pd.DataFrame(rows, columns=["doc_id", "out_len", "res_chk"])
+
+    return seqs.mapInPandas(kernel, schema="doc_id string, out_len int, res_chk double")

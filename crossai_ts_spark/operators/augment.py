@@ -48,3 +48,89 @@ def add_white_noise(df: DataFrame, k: float = 10.0) -> DataFrame:
             f"transform(tokens, (x, i) -> cast(x as double) + {k} * ({u} / 4294967296.0 - 0.5))"
         ),
     )
+
+
+# ---------------------------------------------------------------- round 2
+# tsaug-parity natives (caits/augmentation/_augment_1d.py:205-656). Same
+# hash-deterministic contract as above: every "random" choice is a pure
+# function of (doc_id, index), so results are partitioning-invariant and
+# reproducible in DuckDB for full oracles.
+
+
+def pool_ave(df: DataFrame, size: int = 4) -> DataFrame:
+    """pool_ts kind='ave' (:383): resolution reduction, length preserved —
+    each element replaced by the mean of its non-overlapping window."""
+    expr = f"""
+    transform(tokens, (x, i) -> 
+      aggregate(slice(tokens, (i div {size}) * {size} + 1, {size}),
+                cast(0 as bigint), (a, v) -> a + v) 
+      / cast(size(slice(tokens, (i div {size}) * {size} + 1, {size})) as double))
+    """
+    return df.withColumn("tokens_aug", F.expr(expr))
+
+
+def quantize_uniform(df: DataFrame, n_levels: int = 10) -> DataFrame:
+    """quantize_ts how='uniform' (:438): snap each value to the nearest of
+    n_levels levels spanning [min, max] (ties half-up via floor(q+0.5))."""
+    n1 = n_levels - 1
+    expr = f"""
+    transform(tokens, x ->
+      cast(array_min(tokens) as double) +
+      floor((cast(x as double) - cast(array_min(tokens) as double))
+            / (cast(array_max(tokens) as double) - cast(array_min(tokens) as double))
+            * {n1}.0 + 0.5)
+      * (cast(array_max(tokens) as double) - cast(array_min(tokens) as double)) / {n1}.0)
+    """
+    # array_min/max recomputed per element by Catalyst (no CSE across the
+    # lambda boundary) — O(n) each makes this O(n^2) for LONG docs; the
+    # engine-scale path computes min/max once in the Arrow kernel. Kept
+    # here because the oracle needs the single-expression form.
+    return df.withColumn("tokens_aug", F.expr(expr))
+
+
+def crop_ts(df: DataFrame, size: int = 32) -> DataFrame:
+    """crop_ts (:205): one deterministic random window per doc."""
+    u = _HASH_U32.format(key="doc_id", i="0")
+    start = f"(1 + cast({u} % greatest(size(tokens) - {size} + 1, 1) as int))"
+    return df.filter(F.expr(f"size(tokens) >= {size}")).withColumn(
+        "tokens_aug", F.expr(f"slice(tokens, {start}, {size})")
+    )
+
+
+def resize_linear(df: DataFrame, new_len: int = 64) -> DataFrame:
+    """resize_ts (:503): linear interpolation onto a new uniform grid."""
+    L1 = new_len - 1
+    expr = f"""
+    transform(sequence(0, {L1}), j -> 
+      cast(element_at(tokens, cast(floor(j * (size(tokens) - 1) / cast({L1} as double)) as int) + 1) as double)
+      * (1.0 - (j * (size(tokens) - 1) / cast({L1} as double) - floor(j * (size(tokens) - 1) / cast({L1} as double))))
+      + cast(element_at(tokens, least(cast(floor(j * (size(tokens) - 1) / cast({L1} as double)) as int) + 2,
+                                      size(tokens))) as double)
+      * (j * (size(tokens) - 1) / cast({L1} as double) - floor(j * (size(tokens) - 1) / cast({L1} as double))))
+    """
+    return df.filter(F.expr("size(tokens) >= 2")).withColumn("tokens_aug", F.expr(expr))
+
+
+def drift_additive(df: DataFrame, max_drift: float = 0.5, n_anchors: int = 5) -> DataFrame:
+    """drift_ts kind='additive' (:259, tsaug Drift): a smooth random curve
+    through n_anchors knots (hash-derived random walk, normalized to
+    max|.| = 1, scaled by max_drift * value range), linearly interpolated
+    and added. Deterministic: the walk is a pure function of doc_id."""
+    K = n_anchors - 1  # segments
+    us = [_HASH_U32.format(key="doc_id", i=str(j)) for j in range(1, n_anchors)]
+    walk = ["cast(0.0 as double)"]
+    for j, u in enumerate(us):
+        walk.append(f"({walk[-1]} + ({u} / 4294967296.0 - 0.5))")
+    anchors = "array(" + ", ".join(walk) + ")"
+    mx = f"array_max(transform({anchors}, a -> abs(a)))"
+    rng_ = "(cast(array_max(tokens) as double) - cast(array_min(tokens) as double))"
+    pos = f"(i * cast({K} as double) / greatest(size(tokens) - 1, 1))"
+    j0 = f"least(cast(floor({pos}) as int), {K - 1})"
+    frac = f"({pos} - {j0})"
+    dr = (
+        f"(element_at({anchors}, {j0} + 1) * (1.0 - {frac})"
+        f" + element_at({anchors}, {j0} + 2) * {frac})"
+        f" / nullif({mx}, 0.0) * {max_drift} * {rng_}"
+    )
+    expr = f"transform(tokens, (x, i) -> cast(x as double) + {dr})"
+    return df.withColumn("tokens_aug", F.expr(expr))
