@@ -2896,3 +2896,195 @@ def resample_polyphase(spark, sf_dir):
             yield pd.DataFrame(rows, columns=["doc_id", "out_len", "res_chk"])
 
     return seqs.mapInPandas(kernel, schema="doc_id string, out_len int, res_chk double")
+
+
+# ------------------------------- minor parity set: peaks, split, shuffle,
+# hann-weighted rolling window
+
+
+@q(
+    "find_peaks_minutes",
+    SQL_EV
+    + """
+, mb AS (
+  SELECT user_id, minute, COUNT(*)::BIGINT AS cnt
+  FROM ev GROUP BY user_id, minute
+), chg AS (
+  SELECT user_id, minute, cnt,
+         CASE WHEN lag(cnt) OVER w IS NULL OR cnt != lag(cnt) OVER w THEN 1 ELSE 0 END AS brk
+  FROM mb WINDOW w AS (PARTITION BY user_id ORDER BY minute)
+), grp AS (
+  SELECT user_id, minute, cnt,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY minute
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM chg
+), isl AS (
+  SELECT user_id, g, MIN(cnt) AS val FROM grp GROUP BY user_id, g
+), nb AS (
+  SELECT user_id, val,
+         lag(val) OVER (PARTITION BY user_id ORDER BY g) AS pv,
+         lead(val) OVER (PARTITION BY user_id ORDER BY g) AS nv
+  FROM isl
+)
+SELECT user_id,
+       SUM(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL AND val > pv AND val > nv
+                THEN 1 ELSE 0 END)::BIGINT AS n_peaks
+FROM nb GROUP BY user_id
+""",
+)
+def find_peaks_minutes(spark, sf_dir):
+    """find_peaks over each user's minute-count series (scipy default
+    semantics: strictly-greater local maxima, plateaus count once, edges
+    excluded — realized as equal-value islands compared to neighbor
+    islands). Full oracle; semantics cross-checked against
+    find_peaks_simple in tests."""
+    ev = _ev(spark, sf_dir)
+    mb = ev.groupBy("user_id", "minute").agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy("minute")
+    chg = mb.withColumn(
+        "brk",
+        F.when(
+            F.lag("cnt").over(w).isNull() | (F.col("cnt") != F.lag("cnt").over(w)), 1
+        ).otherwise(0),
+    )
+    wg = Window.partitionBy("user_id").orderBy("minute").rowsBetween(Window.unboundedPreceding, 0)
+    grp = chg.withColumn("g", F.sum("brk").over(wg))
+    isl = grp.groupBy("user_id", "g").agg(F.min("cnt").alias("val"))
+    wi = Window.partitionBy("user_id").orderBy("g")
+    nb = isl.select(
+        "user_id",
+        "val",
+        F.lag("val").over(wi).alias("pv"),
+        F.lead("val").over(wi).alias("nv"),
+    )
+    return nb.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("pv").isNotNull()
+                & F.col("nv").isNotNull()
+                & (F.col("val") > F.col("pv"))
+                & (F.col("val") > F.col("nv")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_peaks")
+    )
+
+
+@q(
+    "stratified_split",
+    """
+WITH rk AS (
+  SELECT lang, CAST(doc_id AS VARCHAR) AS doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR) || ':split'),
+                            CAST(doc_id AS VARCHAR)) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, COUNT(*)::BIGINT AS total,
+       SUM(CASE WHEN rn <= ceil(0.8::DOUBLE * n) THEN 1 ELSE 0 END)::BIGINT AS n_train,
+       SUM(CASE WHEN rn > ceil(0.8::DOUBLE * n) THEN 1 ELSE 0 END)::BIGINT AS n_test
+FROM rk GROUP BY lang
+""",
+)
+def stratified_split(spark, sf_dir):
+    """Deterministic stratified train/test split (train_test_split parity,
+    sklearn-style EXACT per-stratum counts): docs ranked by a split hash
+    within each label, first ceil(80%) -> train. Hash ranking replaces
+    np.random permutation — reproducible, partitioning-invariant, and
+    cross-engine (unlike sampleBy's Bernoulli draw)."""
+    d = load(spark, sf_dir, "documents").select(
+        "lang", F.col("doc_id").cast("string").alias("doc_id")
+    )
+    w = Window.partitionBy("lang").orderBy(F.md5(F.concat_ws("", F.col("doc_id"), F.lit(":split"))), "doc_id")
+    rk = d.select(
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+    thr = F.ceil(F.lit(0.8).cast("double") * F.col("n"))
+    return rk.groupBy("lang").agg(
+        F.count("*").cast("long").alias("total"),
+        F.sum(F.when(F.col("rn") <= thr, 1).otherwise(0)).cast("long").alias("n_train"),
+        F.sum(F.when(F.col("rn") > thr, 1).otherwise(0)).cast("long").alias("n_test"),
+    )
+
+
+@q(
+    "shuffle_ranks",
+    """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':shuffle42'),
+                          CAST(doc_id AS VARCHAR)) AS shuffle_rank
+FROM documents
+""",
+)
+def shuffle_ranks(spark, sf_dir):
+    """shuffle(seed) parity (DatasetArray.shuffle): a seeded deterministic
+    permutation as hash-order ranks — same permutation in any engine, any
+    partitioning. (Global window = single-partition sort of doc IDs only —
+    at scale, sort keys ride a range-partitioned orderBy instead.)"""
+    d = load(spark, sf_dir, "documents").select(F.col("doc_id").cast("string").alias("doc_id"))
+    w = Window.orderBy(F.md5(F.concat_ws("", F.col("doc_id"), F.lit(":shuffle42"))), "doc_id")
+    return d.select("doc_id", F.row_number().over(w).cast("long").alias("shuffle_rank"))
+
+
+def _hann_literals(n: int) -> list[float]:
+    import numpy as np
+
+    from .functions.dsp import hann
+
+    return [float(v) for v in hann(n)]
+
+
+def _hann_window_sql() -> str:
+    w = _hann_literals(16)
+    wsum = repr(float(sum(_hann_literals(16))))  # same left-to-right sum
+    lits = "[" + ", ".join(f"({v!r})::DOUBLE" for v in w) + "]"
+    return (
+        SQL_TOKLIST
+        + f"""
+, f AS (SELECT doc_id, toks, n FROM tok WHERE n >= 16),
+wins AS (
+  SELECT doc_id,
+    list_transform(range(0, ((n - 16) // 8)::BIGINT + 1), wi ->
+      list_reduce(list_prepend(0.0::DOUBLE,
+        list_transform(range(1, 17), k ->
+          toks[wi * 8 + k]::DOUBLE * ({lits})[k])), (a, b) -> a + b)
+      / ({wsum})::DOUBLE) AS wm
+  FROM f
+)
+SELECT doc_id, len(wm)::BIGINT AS n_windows,
+  list_reduce(list_prepend(0::BIGINT, list_transform(wm, v -> floor(v * 1048576.0)::BIGINT)),
+              (a, b) -> a + b) AS hann_chk
+FROM wins
+"""
+    )
+
+
+@q("rolling_window_hann", _hann_window_sql())
+def rolling_window_hann(spark, sf_dir):
+    """rolling_window_df with win_type='hann' (caits/windowing.py:24-27,
+    pandas .rolling(win_type).mean() semantics: hann-weighted window mean,
+    full windows, step 8). Weights are shared float literals; the weighted
+    sum is an identical left fold in both engines — full oracle."""
+    seqs = tokenize_documents(load(spark, sf_dir, "documents")).filter(
+        F.expr("size(tokens) >= 16")
+    )
+    w = _hann_literals(16)
+    wsum = repr(float(sum(w)))
+    arr = "array(" + ", ".join(f"cast({v!r} as double)" for v in w) + ")"
+    expr = f"""
+    transform(sequence(0, cast((size(tokens) - 16) / 8 as int)), wi ->
+      aggregate(zip_with(slice(tokens, wi * 8 + 1, 16), {arr},
+                         (x, w) -> cast(x as double) * w),
+                cast(0.0 as double), (a, b) -> a + b) / cast({wsum} as double))
+    """
+    out = seqs.withColumn("wm", F.expr(expr))
+    return out.select(
+        "doc_id",
+        F.expr("size(wm)").cast("long").alias("n_windows"),
+        F.expr(
+            "aggregate(transform(wm, v -> cast(floor(v * 1048576.0) as bigint)), "
+            "cast(0 as bigint), (a, b) -> a + b)"
+        ).alias("hann_chk"),
+    )

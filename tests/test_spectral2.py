@@ -107,3 +107,21 @@ def test_eepd_counts_bands():
     assert out.shape == (4,)
     assert (out >= 0).all()
     assert out[1] > 0  # the 100-150 band contains the carrier's envelope
+
+
+def test_island_peak_count_matches_find_peaks():
+    """The SQL find_peaks_minutes realization (equal-value islands vs
+    neighbor islands) must count exactly what find_peaks_simple counts."""
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        y = rng.integers(0, 5, size=rng.integers(3, 60)).astype(float)
+        # island-based count (the SQL semantics)
+        vals = [y[0]]
+        for v in y[1:]:
+            if v != vals[-1]:
+                vals.append(v)
+        isl = 0
+        for i in range(1, len(vals) - 1):
+            if vals[i] > vals[i - 1] and vals[i] > vals[i + 1]:
+                isl += 1
+        assert isl == find_peaks_simple(y).size, y
