@@ -40,6 +40,14 @@ HEADLINE_QUERIES = [
     "interval_iou",
     "codec_roundtrip",
     "dsp_features",
+    # round-2 additions
+    "butterworth_sosfilt",
+    "cubic_spline_interp",
+    "event_classification",
+    "compressed_tiers",
+    "rolling_composites",
+    "embedding_near_dups",
+    "ep3_pipeline",
 ]
 
 

@@ -1816,7 +1816,7 @@ WHERE {cos} >= {threshold}
 """
 
 
-@q("embedding_near_dups", _emb_near_dup_sql(0.42, 64, 4, 2, 42))
+@q("embedding_near_dups", _emb_near_dup_sql(0.42, 64, 6, 3, 42))
 def embedding_near_dups_q(spark, sf_dir):
     """Embedding near-dup pairs via multi-table hyperplane LSH (the default
     scale path of operators/dedup.embedding_near_dups — never corpus^2).
@@ -1825,7 +1825,7 @@ def embedding_near_dups_q(spark, sf_dir):
     from .operators.dedup import embedding_near_dups as ed
 
     e = load(spark, sf_dir, "embeddings")
-    return ed(e, threshold=0.42, dim=64, n_bits=4, n_tables=2, seed=42)
+    return ed(e, threshold=0.42, dim=64, n_bits=6, n_tables=3, seed=42)
 
 
 def _lsh_ann_sql(k: int, n_bits: int, seed: int, dim: int) -> str:
@@ -2202,7 +2202,7 @@ def cubic_spline_interp(spark, sf_dir):
     scipy.CubicSpline default) through each user's first 8 minute-bucket
     click-rates, evaluated on the integer minute grid, floor-checksummed.
     FULL oracle: the DuckDB side unrolls the identical Thomas solve."""
-    from .functions.spline import spline_chk_scalar
+    from .functions.spline import spline_eval, spline_slopes
 
     ev = _ev(spark, sf_dir)
     mb = ev.groupBy("user_id", "minute").agg(
@@ -2217,15 +2217,22 @@ def cubic_spline_interp(spark, sf_dir):
     ).filter(F.col("nmin") >= 8)
 
     def kernel(batches):
+        import numpy as np
         import pandas as pd
 
+        # vectorized spline path: bitwise-identical to spline_chk_scalar
+        # (the op-order twin the oracle unrolls) — proven by
+        # tests/test_spline.py::test_scalar_chk_matches_vectorized
         for pdf in batches:
             uids, chks = [], []
             for uid, knots in zip(pdf["user_id"], pdf["k"]):
-                xs = [float(kk["minute"]) for kk in knots]
-                ys = [float(kk["clicks"]) / float(kk["total"]) for kk in knots]
+                xs = np.array([float(kk["minute"]) for kk in knots])
+                ys = np.array([float(kk["clicks"]) / float(kk["total"]) for kk in knots])
+                m = spline_slopes(xs, ys)
+                t = np.arange(xs[0], xs[-1] + 1.0)
+                chk = np.floor(spline_eval(xs, ys, m, t) * 1048576.0).sum()
                 uids.append(uid)
-                chks.append(int(spline_chk_scalar(xs, ys, 1048576.0)))
+                chks.append(int(chk))
             yield pd.DataFrame({"user_id": uids, "spline_chk": chks})
 
     return g.select("user_id", "k").mapInPandas(kernel, schema="user_id long, spline_chk long")

@@ -92,8 +92,14 @@ def lsh_candidate_pairs(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     if max_bucket is not None:
-        sizes = bt.groupBy("band", "key").agg(F.count("*").alias("_bn"))
-        bt = bt.join(sizes.filter(F.col("_bn") <= max_bucket), ["band", "key"]).drop("_bn")
+        # window count = ONE shuffle on (band, key); a groupBy+join would
+        # shuffle the band table twice (measured 2x on minhash_lsh)
+        wb = Window.partitionBy("band", "key")
+        bt = (
+            bt.withColumn("_bn", F.count("*").over(wb))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     a = bt.alias("a")
     b = bt.alias("b")
     return (
@@ -117,8 +123,13 @@ def ngram_jaccard_pairs(
     is bounded by max_df^2 per shingle.
     """
     if max_df is not None:
-        dfreq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
-        sh = sh.join(dfreq.filter(F.col("_df") <= max_df), "sh").drop("_df")
+        # document frequency as a window count: one shuffle on the shingle
+        # key (which the self-join below reuses) instead of groupBy+join
+        sh = (
+            sh.withColumn("_df", F.count("*").over(Window.partitionBy("sh")))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
