@@ -1599,7 +1599,11 @@ FROM documents
 )
 def label_encode(spark, sf_dir):
     """LE label encoder (caits/transformers/_encoder.py:5-49) as
-    dense_rank over distinct labels."""
+    dense_rank over distinct labels. The un-partitioned window runs AFTER
+    distinct(), so the single partition holds only |label-vocabulary| rows
+    (5 here; bounded by the class count, never the corpus) — for
+    high-cardinality vocabularies switch to distinct -> driver-broadcast
+    map join."""
     d = load(spark, sf_dir, "documents").select("lang").distinct()
     w = Window.orderBy("lang")
     return d.select("lang", (F.dense_rank().over(w) - 1).cast("long").alias("label"))
@@ -3095,3 +3099,67 @@ def rolling_window_hann(spark, sf_dir):
             "cast(0 as bigint), (a, b) -> a + b)"
         ).alias("hann_chk"),
     )
+
+
+@q(
+    "kendall_tau",
+    SQL_EV
+    + """
+, mb AS (
+  SELECT user_id, minute, SUM(cents)::BIGINT AS c
+  FROM ev GROUP BY user_id, minute
+), rk AS (
+  SELECT user_id, minute, c,
+         row_number() OVER (PARTITION BY user_id ORDER BY minute) AS rn
+  FROM mb
+), k AS (
+  SELECT user_id, minute, c FROM rk WHERE rn <= 50
+), pairs AS (
+  SELECT a.user_id,
+         CASE WHEN (a.minute < b.minute AND a.c < b.c) OR (a.minute > b.minute AND a.c > b.c)
+              THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (a.minute < b.minute AND a.c > b.c) OR (a.minute > b.minute AND a.c < b.c)
+              THEN 1 ELSE 0 END AS disc,
+         CASE WHEN a.c = b.c THEN 1 ELSE 0 END AS tie_y
+  FROM k a JOIN k b ON a.user_id = b.user_id AND a.minute < b.minute
+), s AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n0,
+         SUM(conc)::BIGINT AS nc, SUM(disc)::BIGINT AS nd,
+         SUM(tie_y)::BIGINT AS ty
+  FROM pairs GROUP BY user_id
+)
+SELECT user_id, nc, nd,
+       (nc - nd)::DOUBLE / (sqrt(n0::DOUBLE) * sqrt((n0 - ty)::DOUBLE)) AS tau_b
+FROM s WHERE n0 - ty > 0
+""",
+)
+def kendall_tau(spark, sf_dir):
+    """Kendall tau-b (caits/eda/correlation.py method='kendall') between
+    time order and value per user, over the first 50 minute buckets —
+    EXACT concordant/discordant/tie counts from an intra-user pair join
+    (bounded at 50^2 pairs/user: never corpus^2; x-ties impossible since
+    minutes are the distinct key, so tau-b's x-tie term vanishes)."""
+    ev = _ev(spark, sf_dir)
+    mb = ev.groupBy("user_id", "minute").agg(F.sum("cents").cast("long").alias("c"))
+    w = Window.partitionBy("user_id").orderBy("minute")
+    k = mb.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 50).drop("rn")
+    a = k.alias("a")
+    b = k.alias("b")
+    am, bm = F.col("a.minute"), F.col("b.minute")
+    ac, bc = F.col("a.c"), F.col("b.c")
+    pairs = a.join(b, (F.col("a.user_id") == F.col("b.user_id")) & (am < bm)).select(
+        F.col("a.user_id").alias("user_id"),
+        F.when(((am < bm) & (ac < bc)) | ((am > bm) & (ac > bc)), 1).otherwise(0).alias("conc"),
+        F.when(((am < bm) & (ac > bc)) | ((am > bm) & (ac < bc)), 1).otherwise(0).alias("disc"),
+        F.when(ac == bc, 1).otherwise(0).alias("tie_y"),
+    )
+    s = pairs.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n0"),
+        F.sum("conc").cast("long").alias("nc"),
+        F.sum("disc").cast("long").alias("nd"),
+        F.sum("tie_y").cast("long").alias("ty"),
+    )
+    tau = (F.col("nc") - F.col("nd")).cast("double") / (
+        F.sqrt(F.col("n0").cast("double")) * F.sqrt((F.col("n0") - F.col("ty")).cast("double"))
+    )
+    return s.filter(F.col("n0") - F.col("ty") > 0).select("user_id", "nc", "nd", tau.alias("tau_b"))

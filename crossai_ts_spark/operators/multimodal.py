@@ -117,3 +117,30 @@ def frame_sample(media: DataFrame, every: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.col("meta_frames") - 1, F.lit(every))
         ).alias("frame_idx"),
     )
+
+
+def load_audio_resampled(media: DataFrame, target_sr: int = 8000,
+                         decoder: Decoder = fake_decoder) -> DataFrame:
+    """wav_loader parity (caits/loading/_audio.py:55-62): decode audio then
+    resample to target_sr AT LOAD TIME via the real polyphase resampler
+    (functions/dsp2.resample_signal). The decode step is the sandbox stub
+    (no soundfile); the resample path, schema, and batch shape are real."""
+    from ..functions.dsp2 import resample_signal
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, kind, sr in zip(
+                pdf["media_id"], pdf["payload"], pdf["kind"], pdf["meta_sr"]
+            ):
+                if kind != "audio":
+                    continue
+                wave = decoder(bytes(payload), kind).astype(np.float64)
+                sr = int(sr)
+                out = resample_signal(wave, sr, target_sr) if sr != target_sr else wave
+                rows.append((mid, target_sr, int(out.size), float(np.abs(out).max())))
+            yield pd.DataFrame(rows, columns=["media_id", "sr", "n_samples", "peak"])
+
+    return media.mapInPandas(
+        kernel, schema="media_id string, sr int, n_samples int, peak double"
+    )

@@ -171,3 +171,20 @@ def test_embedding_near_dups_lsh_default_no_crossjoin(spark):
         emb, threshold=0.99, dim=16, n_bits=4, n_tables=3, seed=1
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_audio_loader_resamples_at_load(spark):
+    from crossai_ts_spark.operators.multimodal import (
+        fake_decoder,
+        load_audio_resampled,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=30, seed=7)
+    out = load_audio_resampled(media, target_sr=8000).toPandas()
+    assert (out.sr == 8000).all()
+    assert len(out) == 10  # kinds cycle image/audio/video; audio = i%3==1
+    # fake_decoder emits a fixed 64-sample waveform at meta_sr=16000;
+    # halving the rate must halve the sample count (ceil(64/2))
+    n_orig = fake_decoder(b"x" * 300, "audio").size
+    assert (out.n_samples == -(-n_orig * 8000 // 16000)).all()
