@@ -60,3 +60,88 @@ def run_to_memory(df: DataFrame, name: str):
     q.processAllAvailable()
     q.stop()
     return q
+
+
+# ------------------------------------------------ stateful incremental tier
+
+
+def incremental_tier1(chunked: DataFrame, w: int = 64) -> DataFrame:
+    """Stateful streaming tier-1: token arrays arrive in per-doc CHUNKS
+    (doc_id, chunk_idx, tokens, is_last); GroupState carries the open
+    window's partial aggregates across triggers; completed windows emit
+    immediately, the ragged tail emits on is_last. Exactly the batch
+    rollup identities (min/max/sum/cnt/last/mean) — parity with
+    rollup_native is asserted in tests.
+
+    Ordering contract: chunks of one doc must arrive in chunk_idx order
+    across triggers (in production: per-key ordered source partitions,
+    e.g. keyed Kafka). Within a trigger, chunks are sorted locally.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        (doc_id,) = key
+        # state: (next_off, mn, mx, sm, cnt, lst, source) — the open
+        # partial window spans [next_off - cnt, next_off); cnt == 0 means
+        # "no partial, resume at next_off" (a trigger that ended exactly on
+        # a window boundary must still advance the offset cursor)
+        if state.exists:
+            next_off, mn, mx, sm, cnt, lst, source = state.get
+        else:
+            next_off, mn, mx, sm, cnt, lst, source = 0, 0, 0, 0, 0, 0, None
+        out = []
+        done = False
+
+        def emit(ws_, mn_, mx_, sm_, cnt_, lst_):
+            out.append(
+                (doc_id, source, ws_, mn_, mx_, sm_, cnt_, lst_, sm_ / cnt_)
+            )
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values("chunk_idx")
+            for toks, is_last, src in zip(pdf["tokens"], pdf["is_last"], pdf["source"]):
+                source = src if source is None else source
+                arr = np.asarray(toks, dtype=np.int64)
+                if arr.size:
+                    offs = next_off + np.arange(arr.size)
+                    ids = offs // w
+                    brk = np.nonzero(np.diff(ids))[0] + 1
+                    bounds = np.concatenate(([0], brk, [arr.size]))
+                    for s_, e_ in zip(bounds[:-1], bounds[1:]):
+                        seg = arr[s_:e_]
+                        if cnt == 0:
+                            mn, mx, sm, lst = int(seg.min()), int(seg.max()), int(seg.sum()), int(seg[-1])
+                            cnt = int(seg.size)
+                        else:
+                            mn = min(mn, int(seg.min()))
+                            mx = max(mx, int(seg.max()))
+                            sm += int(seg.sum())
+                            cnt += int(seg.size)
+                            lst = int(seg[-1])
+                        next_off += int(seg.size)
+                        if cnt == w:
+                            emit(next_off - cnt, mn, mx, sm, cnt, lst)
+                            mn = mx = sm = cnt = lst = 0
+                if is_last:
+                    if cnt > 0:
+                        emit(next_off - cnt, mn, mx, sm, cnt, lst)
+                        mn = mx = sm = cnt = lst = 0
+                    done = True
+        if done:
+            state.remove()
+        else:
+            state.update((next_off, mn, mx, sm, cnt, lst, source))
+        cols = ["doc_id", "source", "window_start", "t_min", "t_max", "t_sum", "t_cnt", "t_last", "t_mean"]
+        yield pd.DataFrame(out, columns=cols)
+
+    out_schema = (
+        "doc_id string, source string, window_start long, t_min long, t_max long, "
+        "t_sum long, t_cnt long, t_last long, t_mean double"
+    )
+    state_schema = (
+        "next_off long, mn long, mx long, sm long, cnt long, lst long, source string"
+    )
+    return chunked.groupBy("doc_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )

@@ -118,3 +118,79 @@ def test_streaming_tier1_equals_batch(spark, tiny_df, tmp_path):
     assert len(got) == len(exp)
     assert (got.t_sum.to_numpy() == exp.t_sum.to_numpy()).all()
     assert (got.t_mean.to_numpy().view(np.int64) == exp.t_mean.to_numpy().view(np.int64)).all()
+
+
+def test_incremental_tier1_stateful_matches_batch(spark, tmp_path):
+    """applyInPandasWithState incremental rollup over chunked arrivals ==
+    batch rollup_native, including ragged tails, across trigger boundaries
+    (one chunk-file per trigger; exact-boundary chunks exercise the
+    cnt==0 state carry)."""
+    import numpy as np
+    import pandas as pd
+
+    from crossai_ts_spark.datagen import gen_local
+    from crossai_ts_spark.operators.rollup import rollup_native
+    from crossai_ts_spark.streaming.rollup_stream import incremental_tier1
+
+    docs = gen_local(seed=11, n_docs=12, max_tok=700)
+    w = 64
+    # batch expectation
+    seqs = spark.createDataFrame(docs)
+    want = (
+        rollup_native(seqs, w=w)
+        .select("doc_id", "window_start", "t_min", "t_max", "t_sum", "t_cnt", "t_last", "t_mean")
+        .toPandas()
+        .sort_values(["doc_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    # chunked arrivals: irregular chunk sizes incl. exact window multiples
+    in_dir = tmp_path / "chunks"
+    in_dir.mkdir()
+    rng = np.random.default_rng(3)
+    trigger = 0
+    pending = [
+        (r.doc_id, list(r.tokens), r.source) for r in docs.itertuples(index=False)
+    ]
+    cursors = {d: 0 for d, _, _ in pending}
+    while pending:
+        rows = []
+        nxt = []
+        for doc_id, toks, source in pending:
+            c = cursors[doc_id]
+            size = int(rng.choice([w, 37, 128, 200, len(toks) - c]))
+            size = max(1, min(size, len(toks) - c))
+            chunk = toks[c : c + size]
+            cursors[doc_id] = c + size
+            is_last = cursors[doc_id] >= len(toks)
+            rows.append((doc_id, trigger, chunk, bool(is_last), source))
+            if not is_last:
+                nxt.append((doc_id, toks, source))
+        pdf = pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "tokens", "is_last", "source"])
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(str(in_dir / f"t{trigger:03d}"))
+        pending = nxt
+        trigger += 1
+    # one directory per trigger -> feed files in order
+    stream = (
+        spark.readStream.schema(
+            "doc_id string, chunk_idx long, tokens array<int>, is_last boolean, source string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "t*"))
+    )
+    out = incremental_tier1(stream, w=w)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("inc_tier1")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT doc_id, window_start, t_min, t_max, t_sum, t_cnt, t_last, t_mean FROM inc_tier1")
+        .toPandas()
+        .sort_values(["doc_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
