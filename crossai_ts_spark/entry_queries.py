@@ -3163,3 +3163,37 @@ def kendall_tau(spark, sf_dir):
         F.sqrt(F.col("n0").cast("double")) * F.sqrt((F.col("n0") - F.col("ty")).cast("double"))
     )
     return s.filter(F.col("n0") - F.col("ty") > 0).select("user_id", "nc", "nd", tau.alias("tau_b"))
+
+
+@q("eepd_counts", None)
+def eepd_counts(spark, sf_dir):
+    """envelope_energy_peak_detection (caits/fe/_statistical.py:476-538):
+    per-band bandpass filtfilt -> squared envelope -> lowpass -> normalized
+    peak counts. IIR+peaks kernel — rows-only; numpy-verified in
+    tests/test_spectral2.py. 4 bands at fs=32 over token signals."""
+    import pandas as pd
+
+    from .functions.spectral2 import envelope_energy_peak_detection
+
+    seqs = tokenize_documents(load(spark, sf_dir, "documents"))
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                x = np.asarray(toks, dtype=np.float64)
+                if x.size < 128:
+                    continue
+                c = envelope_energy_peak_detection(
+                    x - x.mean(), fs=32.0, start=2, stop=10, freq_step=2, fcl_add=2
+                )
+                rows.append((doc_id, *[int(v) for v in c]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "eepd_b1", "eepd_b2", "eepd_b3", "eepd_b4"]
+            )
+
+    return seqs.mapInPandas(
+        kernel, schema="doc_id string, eepd_b1 int, eepd_b2 int, eepd_b3 int, eepd_b4 int"
+    )
