@@ -123,13 +123,43 @@ def ep3_pipeline(ev: DataFrame, n_windows: int = 16) -> DataFrame:
     sos = butter_sos(4, 0.02, 1.0, "lowpass")
 
     def kernel(batches):
+        from ..functions.iir import sosfiltfilt_batch
+        from ..functions.spline import spline_eval, spline_slopes
+
         for pdf in batches:
-            rows = []
-            for uid, ws in zip(pdf["user_id"], pdf["w"]):
+            if not len(pdf):
+                continue
+            uids = list(pdf["user_id"])
+            n_w = n_windows
+            t = np.arange(n_w * STEP, dtype=np.float64)
+            xk = np.arange(n_w, dtype=np.float64) * STEP + STEP // 2
+            interp = np.empty((len(uids), t.size))
+            errfs = []
+            for r, ws in enumerate(pdf["w"]):
                 probs = np.array([w["clicks"] / w["total"] for w in ws])
-                errf = np.array([w["errors"] / w["total"] for w in ws])
-                c, d, s, i = ep3_user_counts(probs, errf, sos=sos)
-                rows.append((uid, c, d, s, i))
+                errfs.append(np.array([w["errors"] / w["total"] for w in ws]))
+                m = spline_slopes(xk, probs)
+                interp[r] = spline_eval(xk, probs, m, t)
+            # the zero-phase IIR runs once over the BATCH (vectorized
+            # across users; bitwise == per-user sosfiltfilt, tested)
+            smooth = sosfiltfilt_batch(sos, interp)
+            rows = []
+            for r, uid in enumerate(uids):
+                pred = [(a, b) for a, b in _runs(smooth[r] >= PROB_TH) if b - a >= DUR_MIN]
+                gt = [
+                    (ws_ * STEP, we_ * STEP)
+                    for ws_, we_ in _runs(errfs[r] >= GT_ERR_FRAC)
+                ]
+                C = D = S = I = 0
+                for pe in pred:
+                    best = max((_iou(pe, g) for g in gt), default=0.0)
+                    if best == 0.0:
+                        I += 1
+                    elif best < IOU_TH:
+                        D += 1
+                    else:
+                        C += 1
+                rows.append((uid, C, D, S, I))
             yield pd.DataFrame(rows, columns=["user_id", "c", "d", "s", "i"])
 
     per_user = g.select("user_id", "w").mapInPandas(

@@ -118,3 +118,14 @@ def test_stability_all_poles_inside_unit_circle():
             for _, _, _, _, a1, a2 in sos:
                 roots = np.roots([1.0, a1, a2])
                 assert np.all(np.abs(roots) < 1.0 + 1e-12)
+
+
+def test_sosfiltfilt_batch_bitwise_equals_per_row():
+    from crossai_ts_spark.functions.iir import sosfiltfilt_batch
+
+    rng = np.random.default_rng(0)
+    sos = butter_sos(4, 0.02, 1.0, "lowpass")
+    X = rng.normal(size=(25, 300)).cumsum(axis=1)
+    Yb = sosfiltfilt_batch(sos, X)
+    for r in range(25):
+        assert np.array_equal(Yb[r], sosfiltfilt(sos, X[r]))
