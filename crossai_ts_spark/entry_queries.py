@@ -1832,17 +1832,20 @@ def embedding_near_dups_q(spark, sf_dir):
     return ed(e, threshold=0.42, dim=64, n_bits=6, n_tables=3, seed=42)
 
 
-def _lsh_ann_sql(k: int, n_bits: int, seed: int, dim: int) -> str:
+def _lsh_ann_sql(k: int, n_bits: int, seed: int, dim: int, n_probes: int = 1) -> str:
     cos = (
         SQL_DOT.format(a="q.qe", b="c.embedding")
         + f" / (sqrt({SQL_DOT.format(a='q.qe', b='q.qe')})"
         + f" * sqrt({SQL_DOT.format(a='c.embedding', b='c.embedding')}))"
     )
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << i})" for i in range(n_probes - 1)])
     return f"""
 WITH cb AS (
   SELECT vec_id, embedding, {_bucket_sql(dim, n_bits, seed)} AS bucket FROM embeddings
-), qb AS (
+), qb0 AS (
   SELECT vec_id AS q_id, embedding AS qe, bucket FROM cb WHERE vec_id < 10
+), qb AS (
+  SELECT q_id, qe, unnest([{probes}]) AS bucket FROM qb0
 ), pairs AS (
   SELECT q.q_id, c.vec_id, {cos} AS cos_sim
   FROM qb q JOIN cb c ON c.bucket = q.bucket AND c.vec_id != q.q_id
@@ -1856,15 +1859,16 @@ SELECT q_id, r AS rank, vec_id, cos_sim FROM rk WHERE r <= {k}
 
 # upgrade lsh_ann from rows-only to a FULL oracle (deterministic literal
 # hyperplanes are SQL-expressible) — replaces the round-1 rows-only entry
-@q("lsh_ann", _lsh_ann_sql(5, 6, 42, 64))
+@q("lsh_ann", _lsh_ann_sql(5, 6, 42, 64, n_probes=3))
 def lsh_ann_oracle(spark, sf_dir):
-    """LSH-bucketed approximate NN (operators/similarity.py scale path),
-    now with a full DuckDB oracle reproducing buckets + cosines exactly."""
+    """Multi-probe LSH approximate NN (operators/similarity.py scale path):
+    each query probes its own bucket + the two Hamming-1 neighbors. Full
+    DuckDB oracle reproducing buckets, probes, and cosines exactly."""
     from .operators.similarity import lsh_topk
 
     e = load(spark, sf_dir, "embeddings")
     q_ = e.filter(F.col("vec_id") < 10)
-    res = lsh_topk(e, q_, dim=64, k=5, n_bits=6, seed=42)
+    res = lsh_topk(e, q_, dim=64, k=5, n_bits=6, seed=42, n_probes=3)
     return res.select("q_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cos_sim")
 
 

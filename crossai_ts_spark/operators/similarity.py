@@ -69,12 +69,34 @@ def lsh_bucket(df: DataFrame, dim: int, n_bits: int = 8, seed: int = 42,
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
-             n_bits: int = 8, seed: int = 42) -> DataFrame:
-    """ANN top-k restricted to the query's LSH bucket (approximate)."""
+             n_bits: int = 8, seed: int = 42, n_probes: int = 1) -> DataFrame:
+    """ANN top-k restricted to the query's LSH bucket(s).
+
+    Multi-probe: with n_probes > 1 each query also probes the buckets at
+    Hamming distance 1 from its own (one sign-flip away — where a
+    borderline neighbor most likely landed), up to n_probes buckets total.
+    Recall rises from p^B toward coverage of the adjacent half-spaces at
+    the cost of (n_probes x) candidate volume; the probe fan-out explodes
+    on the (tiny, broadcast) QUERY side only — the corpus is still hashed
+    exactly once.
+    """
     cb = lsh_bucket(corpus, dim, n_bits, seed)
-    qb = lsh_bucket(queries, dim, n_bits, seed).select(
+    qb0 = lsh_bucket(queries, dim, n_bits, seed).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), "bucket"
     )
+    if n_probes > 1:
+        flips = [F.col("bucket").cast("long")] + [
+            F.col("bucket").cast("long").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(min(n_probes - 1, n_bits))
+        ]
+        qb = qb0.select(
+            "q_id", "qe", F.explode(F.array(*flips)).alias("bucket")
+        )
+    else:
+        qb = qb0
+    # the probe buckets of one query are pairwise-distinct XOR values and a
+    # corpus vector lives in exactly one bucket, so no candidate repeats —
+    # no dedup shuffle needed
     pairs = F.broadcast(qb).join(cb, "bucket").filter(F.col("vec_id") != F.col("q_id"))
     scored = pairs.select("q_id", "vec_id", _cos("qe", "embedding").alias("cos_sim"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")

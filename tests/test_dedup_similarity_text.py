@@ -188,3 +188,24 @@ def test_audio_loader_resamples_at_load(spark):
     # halving the rate must halve the sample count (ceil(64/2))
     n_orig = fake_decoder(b"x" * 300, "audio").size
     assert (out.n_samples == -(-n_orig * 8000 // 16000)).all()
+
+
+def test_multiprobe_lsh_improves_recall(spark):
+    from crossai_ts_spark.operators.similarity import cosine_topk, lsh_topk
+
+    rng = np.random.default_rng(4)
+    emb = rng.normal(size=(400, 16)).astype("float32")
+    rows = [(i, [float(x) for x in emb[i]]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 8")
+
+    def pairs(res):
+        return set(zip(res.q_id, res.vec_id))
+
+    truth = pairs(cosine_topk(df, q, k=5).toPandas())
+    p1 = pairs(lsh_topk(df, q, dim=16, k=5, n_bits=5, seed=1, n_probes=1).toPandas())
+    p3 = pairs(lsh_topk(df, q, dim=16, k=5, n_bits=5, seed=1, n_probes=4).toPandas())
+    r1 = len(p1 & truth) / len(truth)
+    r3 = len(p3 & truth) / len(truth)
+    assert r3 >= r1  # probing adjacent half-spaces can only add candidates
+    assert r3 > 0.3
