@@ -3201,3 +3201,49 @@ def eepd_counts(spark, sf_dir):
     return seqs.mapInPandas(
         kernel, schema="doc_id string, eepd_b1 int, eepd_b2 int, eepd_b3 int, eepd_b4 int"
     )
+
+
+def _convolve_sql(size: int = 7) -> str:
+    import numpy as np
+
+    from .functions.dsp import hann
+
+    w = hann(size)
+    w = w / w.sum()
+    half = size // 2
+    lits = "[" + ", ".join(f"({float(v)!r})::DOUBLE" for v in w) + "]"
+    conv = (
+        f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0, {size}), k -> "
+        f"({lits})[k + 1] * "
+        f"CASE WHEN i + k - {half} >= 0 AND i + k - {half} < n "
+        f"THEN toks[i + k - {half} + 1]::DOUBLE ELSE 0.0::DOUBLE END)), (a, b) -> a + b)"
+    )
+    return (
+        SQL_TOKLIST
+        + f"""
+, cl AS (
+  SELECT doc_id, list_transform(range(0, n), i -> {conv}) AS conv FROM tok
+)
+SELECT doc_id,
+  list_reduce(list_prepend(0::BIGINT, list_transform(conv, v -> floor(v * 1048576.0)::BIGINT)),
+              (a, b) -> a + b) AS conv_chk
+FROM cl
+"""
+    )
+
+
+@q("augment_convolve", _convolve_sql(7))
+def augment_convolve(spark, sf_dir):
+    """convolve_ts hann(7) 'same' parity (_augment_1d.py:144) — weighted
+    sums over centered windows with zero-padded edges; shared float-literal
+    kernel, identical left folds: full oracle."""
+    from .operators.augment import convolve_hann
+
+    c = convolve_hann(tokenize_documents(load(spark, sf_dir, "documents")), 7)
+    return c.select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(tokens_aug, v -> cast(floor(v * 1048576.0) as bigint)), "
+            "cast(0 as bigint), (a, b) -> a + b)"
+        ).alias("conv_chk"),
+    )

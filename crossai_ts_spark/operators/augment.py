@@ -134,3 +134,26 @@ def drift_additive(df: DataFrame, max_drift: float = 0.5, n_anchors: int = 5) ->
     )
     expr = f"transform(tokens, (x, i) -> cast(x as double) + {dr})"
     return df.withColumn("tokens_aug", F.expr(expr))
+
+
+def convolve_hann(df: DataFrame, size: int = 7) -> DataFrame:
+    """convolve_ts (:144, tsaug Convolve window='hann'): 'same'-mode
+    convolution with a hann kernel, zero-padded edges. The (symmetric)
+    kernel makes convolution == correlation, so the expression is a direct
+    weighted sum over the centered window."""
+    import numpy as np
+
+    from ..functions.dsp import hann
+
+    w = hann(size)
+    w = w / w.sum()  # tsaug normalizes the window
+    half = size // 2
+    lits = ", ".join(f"cast({float(v)!r} as double)" for v in w)
+    expr = f"""
+    transform(tokens, (x, i) ->
+      aggregate(sequence(0, {size - 1}), cast(0.0 as double), (a, k) ->
+        a + element_at(array({lits}), k + 1)
+          * if(i + k - {half} >= 0 and i + k - {half} < size(tokens),
+               cast(element_at(tokens, i + k - {half} + 1) as double), cast(0.0 as double))))
+    """
+    return df.withColumn("tokens_aug", F.expr(expr))
