@@ -73,18 +73,19 @@ def quantize_uniform(df: DataFrame, n_levels: int = 10) -> DataFrame:
     """quantize_ts how='uniform' (:438): snap each value to the nearest of
     n_levels levels spanning [min, max] (ties half-up via floor(q+0.5))."""
     n1 = n_levels - 1
+    # min/max carried once per row through array_repeat (a plain expression
+    # Catalyst cannot inline into the lambda) — without it array_min/max
+    # re-evaluate PER ELEMENT (O(n^2); measured 30s -> 3s on the query)
+    carry = (
+        "array_repeat(named_struct("
+        "'mn', cast(array_min(tokens) as double), "
+        "'mx', cast(array_max(tokens) as double)), size(tokens))"
+    )
     expr = f"""
-    transform(tokens, x ->
-      cast(array_min(tokens) as double) +
-      floor((cast(x as double) - cast(array_min(tokens) as double))
-            / (cast(array_max(tokens) as double) - cast(array_min(tokens) as double))
-            * {n1}.0 + 0.5)
-      * (cast(array_max(tokens) as double) - cast(array_min(tokens) as double)) / {n1}.0)
+    zip_with(tokens, {carry}, (x, c) ->
+      c.mn + floor((cast(x as double) - c.mn) / (c.mx - c.mn) * {n1}.0 + 0.5)
+      * (c.mx - c.mn) / {n1}.0)
     """
-    # array_min/max recomputed per element by Catalyst (no CSE across the
-    # lambda boundary) — O(n) each makes this O(n^2) for LONG docs; the
-    # engine-scale path computes min/max once in the Arrow kernel. Kept
-    # here because the oracle needs the single-expression form.
     return df.withColumn("tokens_aug", F.expr(expr))
 
 
@@ -124,15 +125,32 @@ def drift_additive(df: DataFrame, max_drift: float = 0.5, n_anchors: int = 5) ->
     anchors = "array(" + ", ".join(walk) + ")"
     mx = f"array_max(transform({anchors}, a -> abs(a)))"
     rng_ = "(cast(array_max(tokens) as double) - cast(array_min(tokens) as double))"
+    # Catalyst inlines outer expressions into HOF lambdas (no CSE across the
+    # boundary): referencing `anchors` directly would re-run the 4-md5 walk
+    # PER ELEMENT (measured ~100x on the drift query). array_repeat is a
+    # plain expression, so the struct below evaluates ONCE per row and the
+    # zip_with lambda reads precomputed fields.
+    carry = (
+        f"array_repeat(named_struct('a', {anchors}, 'mx', {mx}, 'rng', {rng_}),"
+        " size(tokens))"
+    )
     pos = f"(i * cast({K} as double) / greatest(size(tokens) - 1, 1))"
     j0 = f"least(cast(floor({pos}) as int), {K - 1})"
     frac = f"({pos} - {j0})"
     dr = (
-        f"(element_at({anchors}, {j0} + 1) * (1.0 - {frac})"
-        f" + element_at({anchors}, {j0} + 2) * {frac})"
-        f" / nullif({mx}, 0.0) * {max_drift} * {rng_}"
+        f"(element_at(c.a, {j0} + 1) * (1.0 - {frac})"
+        f" + element_at(c.a, {j0} + 2) * {frac})"
+        f" / nullif(c.mx, 0.0) * {max_drift} * c.rng"
     )
-    expr = f"transform(tokens, (x, i) -> cast(x as double) + {dr})"
+    # zip_with lambdas have no index argument; emulate (x, i) by zipping the
+    # carry struct with an (x, i) struct sequence
+    expr = (
+        f"zip_with(transform(sequence(0, size(tokens) - 1), i -> "
+        f"named_struct('x', element_at(tokens, i + 1), 'i', i)), {carry}, "
+        f"(e, c) -> cast(e.x as double) + "
+        + dr.replace("(i * ", "(e.i * ")
+        + ")"
+    )
     return df.withColumn("tokens_aug", F.expr(expr))
 
 
