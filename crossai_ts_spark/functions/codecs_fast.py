@@ -328,3 +328,13 @@ def dod_decode_fast(blob: bytes) -> np.ndarray:
     out_u = out[0].astype(np.uint64) + np.cumsum(deltas)
     out[1:] = out_u.view(np.int64)
     return out
+
+
+# NOTE on gorilla DECODE: unlike delta-of-delta, Gorilla field lengths
+# depend on decoder state (a '10' reuse field inherits the last '11'
+# block's significant-bit count), so boundary discovery cannot use a local
+# length table — a prototype two-phase decoder (python walk + vectorized
+# payload gathers + XOR-prefix scan) measured 4x SLOWER than the golden
+# int.from_bytes reader at realistic per-doc sizes and was dropped. The
+# hot path at the 10^12 design point is ENCODE (compression happens on
+# every rollup; decode only on reads), and both encoders are vectorized.
