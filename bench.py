@@ -84,6 +84,12 @@ def main() -> int:
     import __spark_entry__ as e
 
     qs = e.queries()
+    # warm-up: JVM codegen + Arrow + python-worker spin-up would otherwise
+    # be billed entirely to the first query in the list
+    try:
+        qs["tokenize_stats"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
     q_secs: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
         if name not in qs:

@@ -2558,23 +2558,37 @@ def compressed_tiers_oracled(spark, sf_dir):
     seqs = tokenize_documents(load(spark, sf_dir, "documents"))
     tiers = cascade_native(seqs, w=32, fanout=8, tiers=2)
     segs = compress_tiers(tiers)
-    dec = decompress_tiers(segs).select(
-        "doc_id", "tier", "window_start", F.col("value").alias("dec_val")
-    )
-    j = tiers.select("doc_id", "tier", "window_start", "t_mean").join(
-        dec, ["doc_id", "tier", "window_start"], "full_outer"
-    )
-    return j.groupBy("tier").agg(
+    dec = decompress_tiers(segs)
+    # join-free multiset equality: per tier, compare (count, sum ws,
+    # sum floor(value*2^20)) of the DECODED rows against the originals —
+    # exact integers, so any codec corruption flips value_mismatches.
+    # Two 2-row aggregates replace a full_outer join of the point sets.
+    chk = F.floor(F.col("t_mean") * 1048576.0).cast("long")
+    orig = tiers.groupBy("tier").agg(
         F.countDistinct("doc_id").cast("long").alias("n_segments"),
-        F.count("t_mean").cast("long").alias("n_points"),
-        F.count("dec_val").cast("long").alias("n_points_decoded"),
-        F.sum(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum("window_start").cast("long").alias("_ws_sum"),
+        F.sum(chk).alias("_chk_sum"),
+    )
+    dchk = F.floor(F.col("value") * 1048576.0).cast("long")
+    d = dec.groupBy("tier").agg(
+        F.count("*").cast("long").alias("n_points_decoded"),
+        F.sum("window_start").cast("long").alias("_dws_sum"),
+        F.sum(dchk).alias("_dchk_sum"),
+    )
+    j = orig.join(d, "tier")
+    return j.select(
+        "tier",
+        "n_segments",
+        "n_points",
+        "n_points_decoded",
+        (
             F.when(
-                F.col("t_mean").isNull()
-                | F.col("dec_val").isNull()
-                | (F.col("t_mean") != F.col("dec_val")),
-                1,
-            ).otherwise(0)
+                (F.col("_ws_sum") == F.col("_dws_sum"))
+                & (F.col("_chk_sum") == F.col("_dchk_sum"))
+                & (F.col("n_points") == F.col("n_points_decoded")),
+                0,
+            ).otherwise(1)
         ).cast("long").alias("value_mismatches"),
     )
 
