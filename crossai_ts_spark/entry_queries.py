@@ -1207,37 +1207,8 @@ def ann_cosine_topk(spark, sf_dir):
 # =====================================================================
 # E. Non-SQL-expressible ops (rows-only driver check)
 # =====================================================================
-
-
-@q("codec_roundtrip", None)
-def codec_roundtrip(spark, sf_dir):
-    """Gorilla/ΔΔ round-trip invariant over tokenized docs (north_rule:
-    raw token arrays round-trip with exact equality)."""
-    from .functions.codecs import tokens_roundtrip_check
-
-    seqs = tokenize_documents(load(spark, sf_dir, "documents"))
-    res = tokens_roundtrip_check(seqs)
-    return res.agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
-    )
-
-
-@q("compressed_tiers", None)
-def compressed_tiers(spark, sf_dir):
-    """Compressed tier segments: decode(encode(tier)) checked in tests;
-    here: segment inventory + compression ratio per tier."""
-    from .functions.codecs import compress_tiers
-
-    seqs = tokenize_documents(load(spark, sf_dir, "documents"))
-    tiers = cascade_native(seqs, w=32, fanout=8, tiers=2)
-    segs = compress_tiers(tiers)
-    return segs.groupBy("tier").agg(
-        F.count("*").alias("n_segments"),
-        F.sum("n_points").alias("n_points"),
-        F.sum(F.octet_length("ts_blob") + F.octet_length("val_blob")).alias("bytes_compressed"),
-        F.sum(F.col("n_points") * 16).alias("bytes_raw"),
-    )
+# (codec_roundtrip / compressed_tiers now live in section K with full
+# DuckDB oracles; the early rows-only versions were deleted in round 3.)
 
 
 # =====================================================================
@@ -1746,17 +1717,6 @@ def spectral_features_q(spark, sf_dir):
     )
 
 
-@q("lsh_ann", None)
-def lsh_ann(spark, sf_dir):
-    """LSH-bucketed approximate NN (operators/similarity.py scale path);
-    rows-only (hyperplane RNG is numpy-side)."""
-    from .operators.similarity import lsh_topk
-
-    e = load(spark, sf_dir, "embeddings")
-    q_ = e.filter(F.col("vec_id") < 10)
-    return lsh_topk(e, q_, dim=64, k=5, n_bits=6, seed=42)
-
-
 @q("dsp_features", None)
 def dsp_features_q(spark, sf_dir):
     """STFT-family composite (mfcc/mel/hilbert/gaussian — caits/fe/_spectrum.py,
@@ -1796,7 +1756,10 @@ def _bucket_sql(dim: int, n_bits: int, seed: int, vec: str = "embedding") -> str
     return "(" + " + ".join(bits) + ")::BIGINT"
 
 
-def _emb_near_dup_sql(threshold: float, dim: int, n_bits: int, n_tables: int, seed: int) -> str:
+def _emb_near_dup_sql(
+    threshold: float, dim: int, n_bits: int, n_tables: int, seed: int,
+    max_bucket: int = 10000,
+) -> str:
     tables = "\n  UNION ALL ".join(
         f"SELECT {t} AS tbl, vec_id, {_bucket_sql(dim, n_bits, seed + 1000003 * t)} AS bucket "
         "FROM embeddings"
@@ -1807,9 +1770,15 @@ def _emb_near_dup_sql(threshold: float, dim: int, n_bits: int, n_tables: int, se
         + f" / (sqrt({SQL_DOT.format(a='ea.embedding', b='ea.embedding')})"
         + f" * sqrt({SQL_DOT.format(a='eb.embedding', b='eb.embedding')}))"
     )
+    # mirror the engine's max_bucket cap so both plans drop the SAME
+    # degenerate buckets (operators/dedup.embedding_near_dups default)
     return f"""
-WITH bt AS (
+WITH bt0 AS (
   {tables}
+), keep AS (
+  SELECT tbl, bucket FROM bt0 GROUP BY tbl, bucket HAVING COUNT(*) <= {max_bucket}
+), bt AS (
+  SELECT bt0.* FROM bt0 JOIN keep USING (tbl, bucket)
 ), cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM bt a JOIN bt b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -2502,23 +2471,31 @@ def rolling_composites(spark, sf_dir):
 
 @q(
     "codec_roundtrip",
-    """
-SELECT COUNT(*)::BIGINT AS n_docs, COUNT(*)::BIGINT AS n_ok
-FROM documents WHERE length(text) > 0
+    SQL_PTS
+    + """
+SELECT COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_ok,
+       SUM(tok)::BIGINT AS dec_sum,
+       SUM(tok * (off + 1))::BIGINT AS dec_wsum
+FROM pts
 """,
 )
 def codec_roundtrip_oracled(spark, sf_dir):
-    """Gorilla/ΔΔ round-trip invariant (north_rule: exact token-array
-    equality). The oracle asserts the INVARIANT: n_ok must equal the doc
-    count — any round-trip corruption on the Spark side breaks the value
-    hash. The codec itself is additionally bit-verified in pytest."""
-    from .functions.codecs import tokens_roundtrip_check
+    """Gorilla/ΔΔ round-trip (north_rule: exact token-array equality) with
+    an INDEPENDENT oracle: Spark computes token sums + position-weighted
+    sums FROM THE DECODED ARRAYS (decode(encode(tokens))), DuckDB recomputes
+    the same sums from the source text — the two agree only if every token
+    round-trips in order. n_ok additionally pins the per-doc equality flag.
+    """
+    from .functions.codecs import tokens_roundtrip_sums
 
     seqs = tokenize_documents(load(spark, sf_dir, "documents"))
-    res = tokens_roundtrip_check(seqs)
+    res = tokens_roundtrip_sums(seqs)
     return res.agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long").alias("n_ok"),
+        F.sum("dec_sum").cast("long").alias("dec_sum"),
+        F.sum("dec_wsum").cast("long").alias("dec_wsum"),
     )
 
 
@@ -2559,22 +2536,30 @@ def compressed_tiers_oracled(spark, sf_dir):
     tiers = cascade_native(seqs, w=32, fanout=8, tiers=2)
     segs = compress_tiers(tiers)
     dec = decompress_tiers(segs)
-    # join-free multiset equality: per tier, compare (count, sum ws,
-    # sum floor(value*2^20)) of the DECODED rows against the originals —
-    # exact integers, so any codec corruption flips value_mismatches.
-    # Two 2-row aggregates replace a full_outer join of the point sets.
-    chk = F.floor(F.col("t_mean") * 1048576.0).cast("long")
+    # join-free multiset equality: per tier, compare a collision-resistant
+    # row digest sum of the DECODED rows against the originals. The digest
+    # is xxhash64(doc_id, window_start, floor(value*2^20)) masked to 40
+    # bits (sum of <=2^24 40-bit terms cannot overflow int64), so cross-doc
+    # value swaps or compensating +/-1-quantum corruptions do NOT cancel —
+    # any per-point corruption flips value_mismatches. Two tiny aggregates
+    # replace a full_outer join of the point sets.
+    mask = F.lit((1 << 40) - 1)
+
+    def _digest(ws_col: str, val_col: str):
+        chk = F.floor(F.col(val_col) * 1048576.0).cast("long")
+        h = F.xxhash64(
+            F.col("doc_id").cast("string"), F.col(ws_col).cast("long"), chk
+        )
+        return h.bitwiseAND(mask)
+
     orig = tiers.groupBy("tier").agg(
         F.countDistinct("doc_id").cast("long").alias("n_segments"),
         F.count("*").cast("long").alias("n_points"),
-        F.sum("window_start").cast("long").alias("_ws_sum"),
-        F.sum(chk).alias("_chk_sum"),
+        F.sum(_digest("window_start", "t_mean")).alias("_h_sum"),
     )
-    dchk = F.floor(F.col("value") * 1048576.0).cast("long")
     d = dec.groupBy("tier").agg(
         F.count("*").cast("long").alias("n_points_decoded"),
-        F.sum("window_start").cast("long").alias("_dws_sum"),
-        F.sum(dchk).alias("_dchk_sum"),
+        F.sum(_digest("window_start", "value")).alias("_dh_sum"),
     )
     j = orig.join(d, "tier")
     return j.select(
@@ -2584,8 +2569,7 @@ def compressed_tiers_oracled(spark, sf_dir):
         "n_points_decoded",
         (
             F.when(
-                (F.col("_ws_sum") == F.col("_dws_sum"))
-                & (F.col("_chk_sum") == F.col("_dchk_sum"))
+                (F.col("_h_sum") == F.col("_dh_sum"))
                 & (F.col("n_points") == F.col("n_points_decoded")),
                 0,
             ).otherwise(1)

@@ -390,3 +390,36 @@ def tokens_roundtrip_check(df):
             )
 
     return df.mapInPandas(check, schema="doc_id string, n_tok int, ok boolean")
+
+
+def tokens_roundtrip_sums(df):
+    """Round-trip check + sums recomputed from the DECODED arrays.
+
+    dec_sum / dec_wsum are computed from decode(encode(tokens)) — NOT from
+    the input — so a cross-engine oracle that recomputes the same sums from
+    the source text independently verifies the codec (any decode corruption
+    shifts the sums; the position-weighted sum catches reorderings that a
+    plain sum would miss).
+    """
+
+    def check(batches):
+        for pdf in batches:
+            oks, sums, wsums = [], [], []
+            for toks in pdf["tokens"]:
+                arr = np.asarray(toks, dtype=np.int64)
+                rt = dod_decode_fast(dod_encode_fast(arr))
+                oks.append(bool(np.array_equal(rt, arr)))
+                sums.append(int(rt.sum()))
+                wsums.append(int((rt * np.arange(1, len(rt) + 1)).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ok": oks,
+                    "dec_sum": np.asarray(sums, dtype=np.int64),
+                    "dec_wsum": np.asarray(wsums, dtype=np.int64),
+                }
+            )
+
+    return df.mapInPandas(
+        check, schema="doc_id string, ok boolean, dec_sum long, dec_wsum long"
+    )

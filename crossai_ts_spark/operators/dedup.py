@@ -92,14 +92,18 @@ def lsh_candidate_pairs(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     if max_bucket is not None:
-        # window count = ONE shuffle on (band, key); a groupBy+join would
-        # shuffle the band table twice (measured 2x on minhash_lsh)
-        wb = Window.partitionBy("band", "key")
-        bt = (
-            bt.withColumn("_bn", F.count("*").over(wb))
-            .filter(F.col("_bn") <= max_bucket)
-            .drop("_bn")
+        # oversized-bucket set is tiny by construction (each member is a
+        # bucket with > max_bucket rows), so: map-side-combined groupBy ->
+        # broadcast left_anti. No sort, and the band table itself never
+        # shuffles for the cap (the r2 window-count version sorted the full
+        # band table and cost 1.9x on minhash_lsh).
+        big = (
+            bt.groupBy("band", "key")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") > max_bucket)
+            .select("band", "key")
         )
+        bt = bt.join(F.broadcast(big), ["band", "key"], "left_anti")
     a = bt.alias("a")
     b = bt.alias("b")
     return (
@@ -123,13 +127,16 @@ def ngram_jaccard_pairs(
     is bounded by max_df^2 per shingle.
     """
     if max_df is not None:
-        # document frequency as a window count: one shuffle on the shingle
-        # key (which the self-join below reuses) instead of groupBy+join
-        sh = (
-            sh.withColumn("_df", F.count("*").over(Window.partitionBy("sh")))
-            .filter(F.col("_df") <= max_df)
-            .drop("_df")
+        # near-universal shingles (df > max_df) are a tiny set: map-side
+        # combined groupBy -> broadcast left_anti (no sort of the full
+        # shingle table; its one shuffle is the self-join below)
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("sh")
         )
+        sh = sh.join(F.broadcast(hot), ["sh"], "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -224,8 +231,15 @@ def embedding_near_dups(
         )
         tabs = bt if tabs is None else tabs.unionByName(bt)
     if max_bucket is not None:
-        sizes = tabs.groupBy("tbl", "bucket").agg(F.count("*").alias("_bn"))
-        tabs = tabs.join(sizes.filter(F.col("_bn") <= max_bucket), ["tbl", "bucket"]).drop("_bn")
+        # oversized buckets are a tiny set -> broadcast left_anti (the full
+        # bucket table never shuffles for the cap)
+        big = (
+            tabs.groupBy("tbl", "bucket")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") > max_bucket)
+            .select("tbl", "bucket")
+        )
+        tabs = tabs.join(F.broadcast(big), ["tbl", "bucket"], "left_anti")
     ta = tabs.alias("a")
     tb = tabs.alias("b")
     cand = (

@@ -25,6 +25,7 @@ import json
 import os
 import shutil
 import time
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame
@@ -87,14 +88,22 @@ def commit_bucket(
     FileSystem API or Iceberg snapshot commits instead — rejected here
     rather than silently producing a directory the executors can't see.
     """
-    scheme = out_dir.split("://", 1)[0] if "://" in out_dir else "file"
-    if scheme != "file":
+    # urlparse catches Hadoop-style single-slash URIs ('file:/tmp/out',
+    # 'hdfs:/x') that a '://'-only check would treat as relative paths
+    parsed = urllib.parse.urlparse(out_dir)
+    if parsed.scheme and parsed.scheme != "file":
         raise ValueError(
             f"commit_bucket requires a driver-local posix path, got scheme "
-            f"'{scheme}://' — use Iceberg snapshot commits (or a Hadoop "
-            f"FileSystem rename job) for remote stores"
+            f"'{parsed.scheme}://' — use Iceberg snapshot commits (or a "
+            f"Hadoop FileSystem rename job) for remote stores"
         )
-    out_dir = out_dir.removeprefix("file://")
+    if parsed.scheme == "file":
+        if parsed.netloc not in ("", "localhost"):
+            raise ValueError(
+                f"commit_bucket: non-local file URI authority "
+                f"'{parsed.netloc}' in {out_dir!r}"
+            )
+        out_dir = parsed.path
     t0 = time.monotonic()
     tmp_dir = os.path.join(out_dir, "_tmp", f"bucket={bucket}")
     final_dir = os.path.join(out_dir, "data", f"bucket={bucket}")

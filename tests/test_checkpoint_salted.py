@@ -77,6 +77,20 @@ def test_checkpoint_commit_and_resume(spark, tiny_df, tmp_path):
     assert back.filter(F.col("tier") == 1).count() > 0
 
 
+def test_commit_bucket_uri_guard(spark, tiny_df, tmp_path):
+    """Remote schemes rejected; file:// and Hadoop-style file:/ both land in
+    the same local directory instead of a relative './file:...' dir."""
+    tiers = cascade_native(tiny_df, w=64, fanout=8, tiers=1)
+    for bad in ("hdfs://nn/x", "s3a://bucket/x", "hdfs:/x"):
+        with pytest.raises(ValueError, match="driver-local"):
+            commit_bucket(tiers, bad, 0, "t")
+    out = str(tmp_path / "uri_out")
+    commit_bucket(tiers, f"file://{out}", 0, "t")
+    commit_bucket(tiers, f"file:{out}", 1, "t")  # single-slash Hadoop form
+    assert completed_buckets(out) == {0, 1}
+    assert not os.path.exists("file:")  # no relative junk dir
+
+
 def test_rollup_job_end_to_end(spark, tmp_path):
     """Drive jobs/rollup_job.py's main() incl. resume skipping."""
     import sys
