@@ -39,11 +39,20 @@ _DRIVER_CHECKED = [
 ]
 
 
+# round-3 changes to already-checked queries (new oracles / new plans)
+# that should be re-verified early if the driver samples a prefix
+_REORACLED = [
+    "spectral_features", "dsp_features", "codec_roundtrip",
+    "compressed_tiers", "minhash_lsh", "ngram_jaccard",
+]
+
+
 def _ordered_names() -> list[str]:
     checked = set(_DRIVER_CHECKED)
     fresh = [n for n in REGISTRY if n not in checked]
-    tail = [n for n in _DRIVER_CHECKED if n in REGISTRY]
-    return fresh + tail
+    re_or = [n for n in _REORACLED if n in REGISTRY]
+    tail = [n for n in _DRIVER_CHECKED if n in REGISTRY and n not in set(re_or)]
+    return fresh + re_or + tail
 
 
 def entry(spark: SparkSession) -> DataFrame:

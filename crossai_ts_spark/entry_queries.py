@@ -1703,33 +1703,63 @@ def detection_metrics(spark, sf_dir):
     )
 
 
-@q("spectral_features", None)
+def _spectral_exact_sql_lazy() -> str:
+    from .functions.spectral_exact import spectral_exact_sql
+
+    return spectral_exact_sql()
+
+
+@q("spectral_features", _spectral_exact_sql_lazy())
 def spectral_features_q(spark, sf_dir):
-    """One-FFT-per-doc spectral struct (caits/fe/_spectral.py:499-539 parity,
-    functions/spectral.py) — FFT not SQL-expressible: rows-only check."""
-    from .functions.spectral import spectral_features
+    """Spectral feature struct (centroid/rolloff/spread/skewness/kurtosis/
+    std/slope/decrease/rms — caits/fe/_spectral.py:8-426 formulas) over the
+    canonical first 64-token frame, FULL oracle: the quantized-integer-
+    twiddle DFT + fixed-fold-order features of functions/spectral_exact.py
+    are bit-reproducible in DuckDB (raw doubles hash-match, no rounding).
+    The full-doc numpy-rFFT composite (functions/spectral.py) is tied to
+    this kernel by parity pytest."""
+    from .functions.spectral_exact import spectral_features_exact
 
     seqs = tokenize_documents(load(spark, sf_dir, "documents"))
-    sp = spectral_features(seqs)
-    return sp.select(
-        "doc_id",
-        *[F.round(F.col(c), 6).alias(c) for c in sp.columns if c != "doc_id"],
-    )
+    return spectral_features_exact(seqs)
 
 
-@q("dsp_features", None)
+def _dsp_exact_sql_lazy() -> str:
+    from .functions.spectral_exact import dsp_exact_sql
+
+    return dsp_exact_sql()
+
+
+@q("dsp_features", _dsp_exact_sql_lazy())
 def dsp_features_q(spark, sf_dir):
-    """STFT-family composite (mfcc/mel/hilbert/gaussian — caits/fe/_spectrum.py,
-    properties.py:9-71, filtering.py) — FFT kernels, rows-only check."""
-    from .functions.dsp import dsp_features
+    """Mel energies + MFCCs (caits/fe/_spectrum.py:339-462 pipeline) over
+    the canonical first 64-token frame, FULL oracle: mel energies are
+    bit-exact doubles (integer DFT + literal filterbank + fixed folds);
+    MFCCs pass through log so they're floor(x*2^14)-quantized on both
+    engines. The full-doc STFT composite (functions/dsp.py) stays covered
+    by round-trip/parity pytest."""
+    from .functions.spectral_exact import dsp_features_exact
 
     seqs = tokenize_documents(load(spark, sf_dir, "documents"))
-    d = dsp_features(seqs)
-    return d.select(
-        "doc_id",
-        "n_frames",
-        *[F.round(F.col(c), 6).alias(c) for c in d.columns if c not in ("doc_id", "n_frames")],
-    )
+    return dsp_features_exact(seqs)
+
+
+def _mfcc_stats_sql_lazy() -> str:
+    from .functions.spectral_exact import mfcc_stats_sql
+
+    return mfcc_stats_sql()
+
+
+@q("mfcc_stats", _mfcc_stats_sql_lazy())
+def mfcc_stats_q(spark, sf_dir):
+    """mfcc_stats composite (caits/fe/_spectrum.py:432-462: per-coefficient
+    mean (+) std across frames) over up to 8 non-overlapping 64-token
+    frames, FULL oracle: per-frame quantized MFCC -> exact integer first/
+    second moments -> identical mean/var/std expressions both engines."""
+    from .functions.spectral_exact import mfcc_stats_exact
+
+    seqs = tokenize_documents(load(spark, sf_dir, "documents"))
+    return mfcc_stats_exact(seqs)
 
 # =====================================================================
 # G. Round-2 additions: LSH-oracle similarity, rank correlation
@@ -1739,7 +1769,7 @@ def dsp_features_q(spark, sf_dir):
 # the parsed value is the exact float64 the Spark plan embeds (repr() is
 # shortest-round-trip)
 def _plane_sql(p) -> str:
-    return "[" + ", ".join(f"({float(x)!r})::DOUBLE" for x in p) + "]"
+    return "[" + ", ".join(f"'{float(x)!r}'::DOUBLE" for x in p) + "]"
 
 
 def _bucket_sql(dim: int, n_bits: int, seed: int, vec: str = "embedding") -> str:
@@ -1997,7 +2027,7 @@ def _sosfilt_chk_sql(sos, quantize: int = 1024) -> str:
     float64 so both engines compute identical IEEE doubles."""
 
     def lit(v: float) -> str:
-        return f"({float(v)!r})::DOUBLE"
+        return f"'{float(v)!r}'::DOUBLE"
 
     ns = len(sos)
     # accumulator is a LIST [z1_0, z2_0, z1_1, z2_1, ..., chk] (1-indexed):
@@ -3052,7 +3082,7 @@ def _hann_literals(n: int) -> list[float]:
 def _hann_window_sql() -> str:
     w = _hann_literals(16)
     wsum = repr(float(sum(_hann_literals(16))))  # same left-to-right sum
-    lits = "[" + ", ".join(f"({v!r})::DOUBLE" for v in w) + "]"
+    lits = "[" + ", ".join(f"'{v!r}'::DOUBLE" for v in w) + "]"
     return (
         SQL_TOKLIST
         + f"""
@@ -3063,7 +3093,7 @@ wins AS (
       list_reduce(list_prepend(0.0::DOUBLE,
         list_transform(range(1, 17), k ->
           toks[wi * 8 + k]::DOUBLE * ({lits})[k])), (a, b) -> a + b)
-      / ({wsum})::DOUBLE) AS wm
+      / '{wsum}'::DOUBLE) AS wm
   FROM f
 )
 SELECT doc_id, len(wm)::BIGINT AS n_windows,
@@ -3085,12 +3115,12 @@ def rolling_window_hann(spark, sf_dir):
     )
     w = _hann_literals(16)
     wsum = repr(float(sum(w)))
-    arr = "array(" + ", ".join(f"cast({v!r} as double)" for v in w) + ")"
+    arr = "array(" + ", ".join(f"cast('{v!r}' as double)" for v in w) + ")"
     expr = f"""
     transform(sequence(0, cast((size(tokens) - 16) / 8 as int)), wi ->
       aggregate(zip_with(slice(tokens, wi * 8 + 1, 16), {arr},
                          (x, w) -> cast(x as double) * w),
-                cast(0.0 as double), (a, b) -> a + b) / cast({wsum} as double))
+                cast(0.0 as double), (a, b) -> a + b) / cast('{wsum}' as double))
     """
     out = seqs.withColumn("wm", F.expr(expr))
     return out.select(
@@ -3209,7 +3239,7 @@ def _convolve_sql(size: int = 7) -> str:
     w = hann(size)
     w = w / w.sum()
     half = size // 2
-    lits = "[" + ", ".join(f"({float(v)!r})::DOUBLE" for v in w) + "]"
+    lits = "[" + ", ".join(f"'{float(v)!r}'::DOUBLE" for v in w) + "]"
     conv = (
         f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0, {size}), k -> "
         f"({lits})[k + 1] * "

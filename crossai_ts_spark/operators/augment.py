@@ -166,7 +166,7 @@ def convolve_hann(df: DataFrame, size: int = 7) -> DataFrame:
     w = hann(size)
     w = w / w.sum()  # tsaug normalizes the window
     half = size // 2
-    lits = ", ".join(f"cast({float(v)!r} as double)" for v in w)
+    lits = ", ".join(f"cast('{float(v)!r}' as double)" for v in w)
     expr = f"""
     transform(tokens, (x, i) ->
       aggregate(sequence(0, {size - 1}), cast(0.0 as double), (a, k) ->

@@ -61,7 +61,7 @@ def lsh_bucket(df: DataFrame, dim: int, n_bits: int = 8, seed: int = 42,
         # and the cast pins the array element type to double (a bare
         # fractional literal would parse as decimal and force an implicit
         # array-wide type unification)
-        lits = ", ".join(f"cast({float(x)!r} as double)" for x in p)
+        lits = ", ".join(f"cast('{float(x)!r}' as double)" for x in p)
         dot = F.expr(_DOT.format(a=vec, b=f"array({lits})"))
         bit = F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bit if bucket is None else bucket + bit
