@@ -229,14 +229,53 @@ def resample_poly_arbitrary(x: np.ndarray, target_len: int) -> np.ndarray:
     return y[:target_len]  # at most a few samples of pad/trim at the tail
 
 
-def resample_signal(x: np.ndarray, orig_sr: float, target_sr: float) -> np.ndarray:
-    """caits/core/_core_resample.py:14-76 'polyphase' branch surface."""
+def resample_fft(x: np.ndarray, num: int) -> np.ndarray:
+    """FFT-domain resampling to `num` samples (caits/core/
+    _core_resample.py:30-44 'fft' branch; scipy.signal.resample method):
+    rfft -> band-limit (downsample) or zero-pad (upsample) the spectrum ->
+    irfft, scaled by num/n. Assumes the signal is periodic over the frame
+    (the usual Fourier-resample caveat).
+
+    Nyquist handling: upsampling an even-length input halves the Nyquist
+    bin before it becomes an interior bin (irfft's Hermitian symmetry
+    contributes the mirror term, reconstructing the original cosine);
+    downsampling to an even length keeps the real part of the bin that
+    lands on the new Nyquist."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.size
+    if num == n:
+        return x.copy()
+    if num < 1:
+        raise ValueError("num must be >= 1")
+    X = np.fft.rfft(x)
+    Y = np.zeros(num // 2 + 1, dtype=np.complex128)
+    ncopy = min(Y.size, X.size)
+    Y[:ncopy] = X[:ncopy]
+    if num > n and n % 2 == 0 and n // 2 < Y.size:
+        Y[n // 2] *= 0.5
+    if num < n and num % 2 == 0:
+        Y[num // 2] = Y[num // 2].real
+    return np.fft.irfft(Y, num) * (num / n)
+
+
+def resample_signal(
+    x: np.ndarray, orig_sr: float, target_sr: float, mode: str = "polyphase"
+) -> np.ndarray:
+    """caits/core/_core_resample.py:14-76 resample surface: 'polyphase'
+    (windowed-sinc, streaming-safe) or 'fft' (band-limited, exact integer
+    ratios / periodic frames)."""
     if orig_sr == target_sr:
         return np.asarray(x, dtype=np.float64).copy()
     if int(orig_sr) != orig_sr or int(target_sr) != target_sr:
-        raise ValueError("polyphase resampling requires integer sampling rates")
+        raise ValueError("resampling requires integer sampling rates")
     g = math.gcd(int(orig_sr), int(target_sr))
-    return resample_poly(x, int(target_sr) // g, int(orig_sr) // g)
+    up, down = int(target_sr) // g, int(orig_sr) // g
+    if mode == "fft":
+        x = np.asarray(x, dtype=np.float64)
+        return resample_fft(x, int(round(x.size * up / down)))
+    if mode != "polyphase":
+        raise ValueError(f"unknown resample mode {mode!r} (polyphase|fft)")
+    return resample_poly(x, up, down)
 
 
 # ------------------------------------------------------------- time warp

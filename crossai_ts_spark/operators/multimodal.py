@@ -35,13 +35,68 @@ MEDIA_SCHEMA = T.StructType(
 
 Decoder = Callable[[bytes, str], np.ndarray]
 
+# Optional-import wiring (caits/loading/_audio.py:16-72 analog): each media
+# kind decodes with its library IF the deploy image has it; this sandbox
+# has none, so everything falls back to the deterministic fake and behavior
+# is unchanged. A deploy with PIL/soundfile/av needs ZERO code changes.
+
+
+def _try_import(name: str):
+    try:
+        return __import__(name)
+    except ImportError:
+        return None
+
+
+_PIL_IMAGE = None
+if _try_import("PIL") is not None:  # pragma: no cover - not in sandbox image
+    from PIL import Image as _PIL_IMAGE  # type: ignore[no-redef]
+_SOUNDFILE = _try_import("soundfile")
+_AV = _try_import("av")
+
+_KIND_LIB = {"image": "PIL", "audio": "soundfile", "video": "av"}
+
+
+def has_real_decoder(kind: str) -> bool:
+    return {
+        "image": _PIL_IMAGE is not None,
+        "audio": _SOUNDFILE is not None,
+        "video": _AV is not None,
+    }.get(kind, False)
+
 
 def real_decoder(payload: bytes, kind: str) -> np.ndarray:
-    """Placeholder for PIL/soundfile/av decode — not available in this image."""
+    """Decode with the kind's library (PIL / soundfile / av) when present.
+
+    image -> float32 HxWxC array /255; audio -> mono float32 waveform;
+    video -> first frame as float32 HxWxC /255. Raises with injection
+    instructions when the library is missing (sandbox case).
+    """
+    import io
+
+    if kind == "image" and _PIL_IMAGE is not None:  # pragma: no cover
+        img = _PIL_IMAGE.open(io.BytesIO(payload))
+        return np.asarray(img, dtype=np.float32) / 255.0
+    if kind == "audio" and _SOUNDFILE is not None:  # pragma: no cover
+        wave, _sr = _SOUNDFILE.read(io.BytesIO(payload), dtype="float32")
+        return wave.mean(axis=1) if wave.ndim == 2 else wave
+    if kind == "video" and _AV is not None:  # pragma: no cover
+        with _AV.open(io.BytesIO(payload)) as container:
+            for frame in container.decode(video=0):
+                return frame.to_ndarray(format="rgb24").astype(np.float32) / 255.0
+        raise ValueError("video payload contains no frames")
     raise NotImplementedError(
-        "media decoding requires PIL/soundfile/av; inject a decoder with "
-        "signature (bytes, kind) -> np.ndarray"
+        f"decoding kind={kind!r} requires {_KIND_LIB.get(kind, 'a media lib')}; "
+        "install it or inject a decoder with signature (bytes, kind) -> np.ndarray"
     )
+
+
+def auto_decoder(payload: bytes, kind: str) -> np.ndarray:
+    """real_decoder when the kind's library exists, fake_decoder otherwise —
+    the decode path upgrades itself on a fully-provisioned image."""
+    if has_real_decoder(kind):  # pragma: no cover - not in sandbox image
+        return real_decoder(payload, kind)
+    return fake_decoder(payload, kind)
 
 
 def fake_decoder(payload: bytes, kind: str) -> np.ndarray:
@@ -80,26 +135,46 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
 
 def extract_features(
-    media: DataFrame, decoder: Decoder = fake_decoder, batch_rows: int = 256
+    media: DataFrame,
+    decoder: Decoder = auto_decoder,
+    max_batch_bytes: int = 64 << 20,
 ) -> DataFrame:
     """binary payload -> embedding via Arrow-batched kernel.
 
     mapInPandas keeps payloads off the driver and lets the decoder run
-    vectorized per batch; partitioning is whatever the upstream scan gives
-    (binary payloads dominate size, so files are the natural unit).
-    """
+    per batch; partitioning is whatever the upstream scan gives (binary
+    payloads dominate size, so files are the natural unit).
+
+    Arrow's maxRecordsPerBatch is ROW-count based — 256 rows of multi-MB
+    payloads is gigabytes resident — so the kernel re-slices each incoming
+    batch on CUMULATIVE PAYLOAD BYTES (max_batch_bytes) and yields per
+    slice, bounding peak decode memory regardless of payload size."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
             feats = [decoder(bytes(p), k) for p, k in zip(pdf["payload"], pdf["kind"])]
-            yield pd.DataFrame(
+            return pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "embedding": [f.astype(np.float32) for f in feats],
+                    "embedding": [f.astype(np.float32).ravel() for f in feats],
                     "payload_bytes": pdf["payload"].map(len).astype("int64"),
                 }
             )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sizes = pdf["payload"].map(len).to_numpy(dtype=np.int64)
+            cum = np.cumsum(sizes)
+            start = 0
+            base = 0
+            for i in range(len(pdf)):
+                if cum[i] - base > max_batch_bytes and i > start:
+                    yield emit(pdf.iloc[start:i])
+                    start = i
+                    base = cum[i - 1]
+            yield emit(pdf.iloc[start:])
 
     return media.mapInPandas(
         kernel,
@@ -120,7 +195,7 @@ def frame_sample(media: DataFrame, every: int = 10) -> DataFrame:
 
 
 def load_audio_resampled(media: DataFrame, target_sr: int = 8000,
-                         decoder: Decoder = fake_decoder) -> DataFrame:
+                         decoder: Decoder = auto_decoder) -> DataFrame:
     """wav_loader parity (caits/loading/_audio.py:55-62): decode audio then
     resample to target_sr AT LOAD TIME via the real polyphase resampler
     (functions/dsp2.resample_signal). The decode step is the sandbox stub

@@ -120,6 +120,38 @@ def test_multimodal_plumbing(spark):
         real_decoder(b"x", "image")
 
 
+def test_multimodal_auto_decoder_and_byte_cap(spark):
+    from crossai_ts_spark.operators.multimodal import (
+        auto_decoder,
+        extract_features,
+        fake_decoder,
+        has_real_decoder,
+        real_decoder,
+        synth_media,
+    )
+
+    # sandbox has no PIL/soundfile/av: auto == fake, real raises per-kind
+    for kind in ("image", "audio", "video"):
+        if has_real_decoder(kind):  # pragma: no cover - provisioned image
+            assert real_decoder.__doc__  # decode path exists; skip fake check
+            continue
+        assert (auto_decoder(b"abc", kind) == fake_decoder(b"abc", kind)).all()
+        with pytest.raises(NotImplementedError, match="decoding kind"):
+            real_decoder(b"abc", kind)
+
+    # byte-capped batching: a cap smaller than one payload still emits
+    # every row, identical to the uncapped run
+    media = synth_media(spark, n=12)
+    full = extract_features(media, decoder=fake_decoder).toPandas()
+    capped = extract_features(
+        media, decoder=fake_decoder, max_batch_bytes=100
+    ).toPandas()
+    assert len(capped) == len(full) == 12
+    a = full.sort_values("media_id").embedding.map(tuple).tolist()
+    b = capped.sort_values("media_id").embedding.map(tuple).tolist()
+    assert a == b
+
+
 def test_pathological_universal_shingle_is_df_capped(spark):
     """One shingle shared by EVERY doc: the uncapped self-join would emit
     n^2 rows; with max_df the universal shingle is dropped from the capped
@@ -209,3 +241,76 @@ def test_multiprobe_lsh_improves_recall(spark):
     r3 = len(p3 & truth) / len(truth)
     assert r3 >= r1  # probing adjacent half-spaces can only add candidates
     assert r3 > 0.3
+
+
+def _boilerplate_corpus(spark, n_docs: int, dup_frac: float = 0.3, seed: int = 9):
+    """Skewed corpus: dup_frac of docs are IDENTICAL boilerplate (the web
+    reality that makes naive LSH quadratic), the rest unique."""
+    rng = np.random.default_rng(seed)
+    boiler = "cookie policy accept terms subscribe newsletter follow us on social media"
+    rows = []
+    for i in range(n_docs):
+        if i < int(n_docs * dup_frac):
+            rows.append((str(i), boiler, "en", "web"))
+        else:
+            words = " ".join(
+                f"w{rng.integers(0, 5000)}" for _ in range(12)
+            )
+            rows.append((str(i), words, "en", "web"))
+    return spark.createDataFrame(rows, "doc_id string, text string, lang string, source string")
+
+
+def test_skewed_corpus_candidate_pairs_stay_linear(spark):
+    """30% identical boilerplate: uncapped LSH would emit O((0.3n)^2)
+    candidate pairs from the boilerplate buckets alone. With the bucket
+    cap, candidate counts must grow ~linearly in n (the cap drops the
+    degenerate buckets; exact dedup owns identical docs)."""
+    from crossai_ts_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    counts = {}
+    for n in (1500, 3000):
+        docs = _boilerplate_corpus(spark, n)
+        sig = minhash_signatures(shingles(docs), k=8)
+        pairs = lsh_candidate_pairs(sig, k=8, band_size=2, max_bucket=100)
+        counts[n] = pairs.count()
+    # quadratic growth would be 4x; linear is 2x. Allow slack for the
+    # random unique-doc collisions (also ~linear).
+    assert counts[3000] <= 2.5 * max(counts[1500], 1), counts
+    # and the boilerplate block itself contributed ZERO pairs (capped):
+    # any boilerplate pair would be (a, b) with both ids < 450
+    docs = _boilerplate_corpus(spark, 1500)
+    sig = minhash_signatures(shingles(docs), k=8)
+    pairs = lsh_candidate_pairs(sig, k=8, band_size=2, max_bucket=100).toPandas()
+    boiler_pairs = [
+        (a, b) for a, b in zip(pairs.doc_a, pairs.doc_b)
+        if int(a) < 450 and int(b) < 450
+    ]
+    assert boiler_pairs == []
+
+
+def test_skewed_embeddings_bucket_cap_engages(spark):
+    """30% identical embedding vectors: the per-table bucket cap drops the
+    degenerate buckets, keeping within-bucket pair cost bounded."""
+    from crossai_ts_spark.operators.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=16).astype("float64")
+    rows = []
+    n = 900
+    for i in range(n):
+        v = base if i < 270 else rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = embedding_near_dups(
+        df, threshold=0.99, dim=16, n_bits=4, n_tables=2, seed=1, max_bucket=100
+    ).toPandas()
+    # the 270 identical vectors would alone emit 36315 pairs; capped plan
+    # must not emit any of them (their buckets exceed the cap)
+    ident = [
+        (a, b) for a, b in zip(capped.id_a, capped.id_b) if a < 270 and b < 270
+    ]
+    assert ident == []

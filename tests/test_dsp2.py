@@ -124,6 +124,40 @@ def test_resample_antialiasing():
     assert np.sqrt((y[50:-50] ** 2).mean()) < 0.05 * np.sqrt((hi**2).mean())
 
 
+def test_resample_fft_sine_parity():
+    """A periodic-over-the-frame sinusoid resamples EXACTLY (to FFT
+    precision) in the Fourier domain — no filter transition band."""
+    from crossai_ts_spark.functions.dsp2 import resample_fft
+
+    n = 1200
+    k = 37  # integer number of cycles -> periodic over the frame
+    x = np.sin(2 * np.pi * k * np.arange(n) / n)
+    for num in (1800, 600, 800):
+        y = resample_fft(x, num)
+        want = np.sin(2 * np.pi * k * np.arange(num) / num)
+        assert y.size == num
+        assert np.abs(y - want).max() < 1e-9, num
+    # round-trip up then back down is near-identity
+    rt = resample_fft(resample_fft(x, 2400), 1200)
+    assert np.abs(rt - x).max() < 1e-9
+    # Nyquist cosine on even-length input survives upsampling
+    c = np.cos(np.pi * np.arange(64))
+    u = resample_fft(c, 128)
+    assert np.abs(u[::2] - c).max() < 1e-9
+
+
+def test_resample_signal_fft_mode():
+    from crossai_ts_spark.functions.dsp2 import resample_signal
+
+    x = np.sin(2 * np.pi * 60 * np.arange(4800) / 4800)
+    y = resample_signal(x, 48000, 16000, mode="fft")
+    assert y.size == 1600
+    want = np.sin(2 * np.pi * 60 * np.arange(1600) / 1600)
+    assert np.abs(y - want).max() < 1e-9
+    with pytest.raises(ValueError):
+        resample_signal(x, 48000, 16000, mode="soxr_hq")
+
+
 def test_time_warp_deterministic_and_bounded():
     x = np.sin(np.arange(500) * 0.05)
     a = time_warp_np(x, seed=11)

@@ -194,3 +194,103 @@ def test_incremental_tier1_stateful_matches_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+def test_incremental_tier1_restart_from_checkpoint(spark, tmp_path):
+    """Exactly-once across a query RESTART: the stateful incremental rollup
+    is stopped mid-stream (half the trigger files processed), then a new
+    query starts from the SAME checkpoint with the remaining files present.
+    GroupState (open mid-doc windows) must recover from the state store and
+    the file sink must contain each rolled-up point exactly once, equal to
+    the batch rollup — the streaming mirror of the batch SIGKILL-resume
+    proof (plans/checkpoint.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from crossai_ts_spark.datagen import gen_local
+    from crossai_ts_spark.operators.rollup import rollup_native
+    from crossai_ts_spark.streaming.rollup_stream import incremental_tier1
+
+    docs = gen_local(seed=21, n_docs=10, max_tok=600)
+    w = 64
+    seqs = spark.createDataFrame(docs)
+    want = (
+        rollup_native(seqs, w=w)
+        .select("doc_id", "window_start", "t_min", "t_max", "t_sum", "t_cnt", "t_last", "t_mean")
+        .toPandas()
+        .sort_values(["doc_id", "window_start"])
+        .reset_index(drop=True)
+    )
+
+    # chunk files, one per trigger (same construction as the parity test)
+    in_dir = tmp_path / "chunks"
+    in_dir.mkdir()
+    rng = np.random.default_rng(8)
+    trigger = 0
+    pending = [(r.doc_id, list(r.tokens), r.source) for r in docs.itertuples(index=False)]
+    cursors = {d: 0 for d, _, _ in pending}
+    staged: list[tuple[str, pd.DataFrame]] = []
+    while pending:
+        rows, nxt = [], []
+        for doc_id, toks, source in pending:
+            c = cursors[doc_id]
+            size = int(rng.choice([w, 41, 150, len(toks) - c]))
+            size = max(1, min(size, len(toks) - c))
+            chunk = toks[c : c + size]
+            cursors[doc_id] = c + size
+            is_last = cursors[doc_id] >= len(toks)
+            rows.append((doc_id, trigger, chunk, bool(is_last), source))
+            if not is_last:
+                nxt.append((doc_id, toks, source))
+        staged.append(
+            (f"t{trigger:03d}", pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "tokens", "is_last", "source"]))
+        )
+        pending = nxt
+        trigger += 1
+    assert len(staged) >= 2, "need multiple triggers to interrupt between"
+
+    schema = "doc_id string, chunk_idx long, tokens array<int>, is_last boolean, source string"
+    half = max(1, len(staged) // 2)
+    for name, pdf in staged[:half]:
+        spark.createDataFrame(pdf, schema=schema).coalesce(1).write.parquet(str(in_dir / name))
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt_restart")
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir / "t*"))
+        )
+        return (
+            incremental_tier1(stream, w=w)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # phase 1: process the first half, then stop (mid-doc state open)
+    q1 = start_query()
+    q1.processAllAvailable()
+    q1.stop()
+
+    # phase 2: remaining files appear; NEW query, SAME checkpoint
+    for name, pdf in staged[half:]:
+        spark.createDataFrame(pdf, schema=schema).coalesce(1).write.parquet(str(in_dir / name))
+    q2 = start_query()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = (
+        spark.read.parquet(sink)
+        .select("doc_id", "window_start", "t_min", "t_max", "t_sum", "t_cnt", "t_last", "t_mean")
+        .toPandas()
+        .sort_values(["doc_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    # exactly-once: no duplicate (doc, window) rows, full equality to batch
+    assert not got.duplicated(["doc_id", "window_start"]).any()
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)

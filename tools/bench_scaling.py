@@ -139,8 +139,18 @@ job scheduling + Arrow/python-worker init, measured by varying input size)
 is amortized by the {args.docs}-doc workload.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve hand-written evidence sections below the marker across re-runs
+    marker = "<!-- extra-sections -->"
+    extra = ""
+    if os.path.exists(out_path):
+        old = open(out_path).read()
+        if marker in old:
+            extra = old[old.index(marker):]
+    with open(out_path, "w") as f:
         f.write(md)
+        if extra:
+            f.write("\n" + extra)
     print(md)
     print(json.dumps({"low": lo, "high": hi, "efficiency": eff}))
     if not args.keep_input:
