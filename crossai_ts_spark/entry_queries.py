@@ -1871,6 +1871,62 @@ def lsh_ann_oracle(spark, sf_dir):
     return res.select("q_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cos_sim")
 
 
+def _ivf_ann_sql(n_cent: int, n_probe: int, k: int) -> str:
+    # cosine folds identical to the Spark plan: a / (sqrt(b) * sqrt(c)),
+    # every dot a left fold in index order (SQL_DOT == Spark `aggregate`)
+    cos_ec = (
+        SQL_DOT.format(a="e.embedding", b="c.ce")
+        + f" / (sqrt({SQL_DOT.format(a='e.embedding', b='e.embedding')})"
+        + f" * sqrt({SQL_DOT.format(a='c.ce', b='c.ce')}))"
+    )
+    cos_qc = (
+        SQL_DOT.format(a="q.qe", b="c.embedding")
+        + f" / (sqrt({SQL_DOT.format(a='q.qe', b='q.qe')})"
+        + f" * sqrt({SQL_DOT.format(a='c.embedding', b='c.embedding')}))"
+    )
+    return f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,
+         embedding AS ce
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cent})
+), asg AS (
+  SELECT e.vec_id, e.embedding, c.cid, {cos_ec} AS score
+  FROM embeddings e CROSS JOIN cent c
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS pr
+  FROM asg
+), cells AS (
+  SELECT vec_id, embedding, cid AS cell FROM ranked WHERE pr = 1
+), qp AS (
+  SELECT vec_id AS q_id, embedding AS qe, cid AS cell
+  FROM ranked WHERE vec_id < 10 AND pr <= {n_probe}
+), pairs AS (
+  SELECT q.q_id, c.vec_id, {cos_qc} AS cos_sim
+  FROM qp q JOIN cells c ON c.cell = q.cell AND c.vec_id != q.q_id
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS r
+  FROM pairs
+)
+SELECT q_id, r AS rank, vec_id, cos_sim FROM rk WHERE r <= {k}
+"""
+
+
+@q("ivf_ann", _ivf_ann_sql(16, 3, 5))
+def ivf_ann(spark, sf_dir):
+    """IVF approximate NN (operators/similarity.py ivf_topk — the
+    data-adaptive scale path next to the oblivious LSH one): 16
+    deterministic hash-sampled centroids partition the corpus into Voronoi
+    cells; each query exact-cosine-re-ranks only its 3 nearest cells.
+    Oracle rebuilds the identical model (same md5 centroid choice, same
+    fold order), cells, probes, and ranking in DuckDB."""
+    from .operators.similarity import ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    res = ivf_topk(e, e.filter(F.col("vec_id") < 10), n_cent=16, n_probe=3, k=5)
+    return res.select("q_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cos_sim")
+
+
 # ----------------------------------------------------- rank correlation
 
 SQL_SPEARMAN = (

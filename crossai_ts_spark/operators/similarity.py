@@ -68,6 +68,83 @@ def lsh_bucket(df: DataFrame, dim: int, n_bits: int = 8, seed: int = 42,
     return df.withColumn("bucket", bucket)
 
 
+def ivf_centroids(corpus: DataFrame, n_cent: int, vec: str = "embedding") -> list[list[float]]:
+    """Deterministic IVF 'training': the n_cent corpus vectors whose
+    md5(vec_id) sorts smallest — a hash-random sample standing in for
+    k-means centroids, so an independent engine can rebuild the identical
+    model. Control-plane collect of an n_cent x dim model (a few KB), the
+    same pattern as the LSH literal hyperplanes; at real scale this is the
+    standard train-small-model-then-broadcast IVF shape (a k-means refit
+    would slot in here without touching the search plan)."""
+    rows = (
+        corpus.select("vec_id", vec)
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_cent)
+        .collect()
+    )
+    return [[float(x) for x in r[1]] for r in rows]
+
+
+def ivf_assign(df: DataFrame, cents: list[list[float]], vec: str = "embedding") -> DataFrame:
+    """Add `cscore` (cosine vs each centroid, index order) and `cell`
+    (1-based argmax, first-max tie-break). Each score is a plain column
+    expression — one JVM fold per centroid, evaluated once per row (no
+    HOF-lambda inlining), so assignment is a narrow map: no shuffle, no
+    Python. Centroid literals ship inside the plan like the LSH planes."""
+    def dot(a, b):
+        # same left fold as _DOT (zip -> per-element double product -> +)
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
+    self_norm = F.sqrt(dot(F.col(vec), F.col(vec)))
+    scores = []
+    for c in cents:
+        # F.lit(list) -> one ArrayType literal node (NOT dim cast exprs:
+        # per-element literals made the task binary ~1 MB and analysis slow)
+        arr = F.lit(c).cast("array<double>")
+        scores.append(dot(F.col(vec), arr) / (self_norm * F.sqrt(dot(arr, arr))))
+    return df.withColumn("cscore", F.array(*scores)).withColumn(
+        "cell", F.array_position(F.col("cscore"), F.array_max("cscore")).cast("long")
+    )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, n_cent: int = 16,
+             n_probe: int = 3, k: int = 5, vec: str = "embedding") -> DataFrame:
+    """IVF approximate NN: partition the corpus into `n_cent` Voronoi cells
+    around deterministic centroids, then each query searches only its
+    `n_probe` nearest cells (exact cosine re-rank inside).
+
+    Scale shape (the IVF contract): the model is tiny and broadcast; cell
+    assignment is a narrow map over the corpus (n_cent folds/row, no
+    shuffle); the candidate join is broadcast-hash on the (queries x
+    n_probe)-row probe side so the corpus never shuffles; the only shuffle
+    is the final per-query top-k over ~n_probe/n_cent of the corpus.
+    Complements lsh_topk: IVF adapts to the data distribution (cells follow
+    the vectors), LSH is oblivious (fixed hyperplanes)."""
+    cents = ivf_centroids(corpus, n_cent, vec)
+    cb = ivf_assign(corpus, cents, vec).select("vec_id", vec, "cell")
+    qv = queries.select(F.col("vec_id").alias("q_id"), F.col(vec).alias("qe"))
+    qb = ivf_assign(qv, cents, vec="qe")
+    qp = qb.select("q_id", "qe", F.posexplode("cscore").alias("cid0", "score"))
+    wp = Window.partitionBy("q_id").orderBy(F.desc("score"), "cid0")
+    qp = (
+        qp.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= n_probe)
+        .select("q_id", "qe", (F.col("cid0") + 1).cast("long").alias("cell"))
+    )
+    pairs = F.broadcast(qp).join(cb, "cell").filter(F.col("vec_id") != F.col("q_id"))
+    scored = pairs.select("q_id", "vec_id", _cos("qe", vec).alias("cos_sim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "cos_sim")
+    )
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
              n_bits: int = 8, seed: int = 42, n_probes: int = 1) -> DataFrame:
     """ANN top-k restricted to the query's LSH bucket(s).

@@ -243,6 +243,34 @@ def test_multiprobe_lsh_improves_recall(spark):
     assert r3 > 0.3
 
 
+def test_ivf_ann_recall_and_probe_monotonicity(spark):
+    from crossai_ts_spark.operators.similarity import cosine_topk, ivf_assign, ivf_centroids, ivf_topk
+
+    rng = np.random.default_rng(7)
+    emb = rng.normal(size=(400, 16)).astype("float32")
+    rows = [(i, [float(x) for x in emb[i]]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 8")
+
+    def pairs(res):
+        return set(zip(res.q_id, res.vec_id))
+
+    truth = pairs(cosine_topk(df, q, k=5).toPandas())
+    p1 = pairs(ivf_topk(df, q, n_cent=8, n_probe=1, k=5).toPandas())
+    p3 = pairs(ivf_topk(df, q, n_cent=8, n_probe=3, k=5).toPandas())
+    p8 = pairs(ivf_topk(df, q, n_cent=8, n_probe=8, k=5).toPandas())
+    r1, r3 = len(p1 & truth) / len(truth), len(p3 & truth) / len(truth)
+    assert r3 >= r1  # more cells probed can only add candidates
+    assert r3 > 0.3
+    assert p8 == truth  # probing every cell == exhaustive search
+
+    # every corpus vector lands in exactly one of the n_cent cells
+    cents = ivf_centroids(df, 8)
+    assert len(cents) == 8 and all(len(c) == 16 for c in cents)
+    cells = ivf_assign(df, cents).select("cell").toPandas().cell
+    assert cells.between(1, 8).all()
+
+
 def _boilerplate_corpus(spark, n_docs: int, dup_frac: float = 0.3, seed: int = 9):
     """Skewed corpus: dup_frac of docs are IDENTICAL boilerplate (the web
     reality that makes naive LSH quadratic), the rest unique."""
