@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 # md5-hex -> bigint: same value in DuckDB via ('0x'||substr(md5(s),1,15))::BIGINT
 def _h64(col):
@@ -97,6 +98,14 @@ def lsh_candidate_pairs(
         # broadcast left_anti. No sort, and the band table itself never
         # shuffles for the cap (the r2 window-count version sorted the full
         # band table and cost 1.9x on minhash_lsh).
+        #
+        # The band table feeds BOTH the cap aggregate (a separate broadcast
+        # job) and the join probe; without a persist the whole
+        # shingle->minhash upstream (two shuffles) runs twice. It is the
+        # signature "model" — n_docs x n_bands narrow rows, orders of
+        # magnitude smaller than the corpus — so MEMORY_AND_DISK is safe at
+        # any scale (a production pipeline would write it to a table).
+        bt = bt.persist(StorageLevel.MEMORY_AND_DISK)
         big = (
             bt.groupBy("band", "key")
             .agg(F.count("*").alias("_bn"))
