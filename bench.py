@@ -48,29 +48,44 @@ HEADLINE_QUERIES = [
     "rolling_composites",
     "embedding_near_dups",
     "ep3_pipeline",
+    # round-3 additions
+    "ivf_ann",
 ]
 
 
-def bench_rollup(spark, n_docs: int, strategy: str) -> dict:
+def bench_rollup(spark, n_docs: int, strategy: str, n_trials: int = 3) -> dict:
     seqs = gen_sequences(spark, n_docs=n_docs, seed=42).cache()
     n_seq = seqs.count()  # materialize input so rollup timing excludes datagen
     n_tokens = int(seqs.selectExpr("sum(cast(n_tok as bigint)) s").collect()[0].s)
 
-    t0 = time.monotonic()
-    tiers = cascade(seqs, strategy=strategy, w=64, fanout=64, tiers=3)
-    per_tier = {int(r.tier): int(r.n) for r in tiers.groupBy("tier").agg(
-        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")).collect()}
-    wall = time.monotonic() - t0
+    # warm-up (uncounted): JVM codegen + Arrow + python workers; then
+    # min-of-N like the query loop — a single cold trial swung the headline
+    # 3-14 M tokens/s on identical code in this sandbox
+    _count_tiers(spark, cascade(seqs, strategy=strategy, w=64, fanout=64, tiers=3))
+    trials = []
+    per_tier = {}
+    for _ in range(n_trials):
+        t0 = time.monotonic()
+        per_tier = _count_tiers(spark, cascade(seqs, strategy=strategy, w=64, fanout=64, tiers=3))
+        trials.append(round(time.monotonic() - t0, 3))
+    wall = min(trials)
     seqs.unpersist()
     return {
         "n_docs": n_seq,
         "n_tokens": n_tokens,
         "strategy": strategy,
         "wall_sec": wall,
+        "wall_trials": trials,
         "rows_per_tier": per_tier,
         "sequences_per_sec": n_seq / wall,
         "tokens_per_sec": n_tokens / wall,
     }
+
+
+def _count_tiers(spark, tiers) -> dict:
+    from pyspark.sql import functions as F
+
+    return {int(r.tier): int(r.n) for r in tiers.groupBy("tier").agg(F.count("*").alias("n")).collect()}
 
 
 def main() -> int:

@@ -99,15 +99,22 @@ def ivf_assign(df: DataFrame, cents: list[list[float]], vec: str = "embedding") 
             lambda acc, v: acc + v,
         )
 
-    self_norm = F.sqrt(dot(F.col(vec), F.col(vec)))
-    scores = []
-    for c in cents:
-        # F.lit(list) -> one ArrayType literal node (NOT dim cast exprs:
-        # per-element literals made the task binary ~1 MB and analysis slow)
-        arr = F.lit(c).cast("array<double>")
-        scores.append(dot(F.col(vec), arr) / (self_norm * F.sqrt(dot(arr, arr))))
-    return df.withColumn("cscore", F.array(*scores)).withColumn(
-        "cell", F.array_position(F.col("cscore"), F.array_max("cscore")).cast("long")
+    # ONE array<array<double>> literal + ONE transform lambda, not n_cent
+    # separate fold expressions: per-centroid exprs compiled a plan whose
+    # analysis+codegen dominated wall time (n_cent x dim literal casts
+    # measured a ~1 MB task binary). `_sn` is materialized as a column
+    # first — referencing it inside the lambda is a per-row read, while an
+    # inlined expression would re-evaluate the self-dot per centroid
+    # (the Catalyst HOF-inlining trap).
+    carr = F.lit(cents).cast("array<array<double>>")
+    out = df.withColumn("_sn", F.sqrt(dot(F.col(vec), F.col(vec))))
+    scores = F.transform(
+        carr, lambda c: dot(F.col(vec), c) / (F.col("_sn") * F.sqrt(dot(c, c)))
+    )
+    return (
+        out.withColumn("cscore", scores)
+        .withColumn("cell", F.array_position(F.col("cscore"), F.array_max("cscore")).cast("long"))
+        .drop("_sn")
     )
 
 
