@@ -1300,6 +1300,43 @@ def minhash_lsh(spark, sf_dir):
     return lsh_candidate_pairs(sig, k=8, band_size=2, max_bucket=1000)
 
 
+def _dedup_clusters_sql(k: int = 8) -> str:
+    # transitive closure by recursive CTE (UNION dedups -> fixpoint), then
+    # component id = min reachable id — the same pure function of the edge
+    # set that min-label propagation converges to on the Spark side
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_minhash_sql(k)}
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), cc(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT cc.node, e.b FROM cc JOIN sym e ON e.a = cc.r
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id FROM cc GROUP BY node
+"""
+
+
+@q("dedup_clusters", _dedup_clusters_sql(8))
+def dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: MinHash-LSH candidate pairs -> connected
+    components (min-label propagation, operators/dedup.py) -> (doc,
+    cluster) where cluster = min doc_id in the component. The step a
+    training-data pipeline runs right after pair generation to pick one
+    canonical doc per cluster. Oracle computes the identical fixpoint by
+    recursive-CTE transitive closure."""
+    from .operators.dedup import connected_components, lsh_candidate_pairs, minhash_signatures, shingles
+
+    sh = shingles(load(spark, sf_dir, "documents"), n=3)
+    sig = minhash_signatures(sh, k=8)
+    pairs = lsh_candidate_pairs(sig, k=8, band_size=2, max_bucket=1000)
+    cc = connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+
+
 def _simhash_sql(bits: int = 16) -> str:
     votes = ",\n         ".join(
         f"SUM(CASE WHEN (s >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(bits)
@@ -1388,6 +1425,50 @@ def quality_scores(spark, sf_dir):
     from .operators.textstats import quality_scores as qs
 
     return qs(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "repetition_scores",
+    r"""
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS ws
+  FROM documents
+), f AS (
+  SELECT doc_id, ws FROM w WHERE len(ws) >= 2
+), b AS (
+  SELECT doc_id, ws,
+         list_sort(list_transform(range(1, len(ws)), i ->
+           ('0x' || substr(md5(ws[i] || chr(31) || ws[i+1]), 1, 15))::BIGINT)) AS bg
+  FROM f
+), r AS (
+  SELECT doc_id, ws,
+         -- run-length max over the sorted bigram hashes: LIST accumulator
+         -- [prev, run, maxrun] (struct accumulators mutate field-by-field
+         -- in DuckDB list_reduce)
+         list_reduce(
+           list_prepend([-1::BIGINT, 0::BIGINT, 0::BIGINT],
+                        list_transform(bg, x -> [x, 0::BIGINT, 0::BIGINT])),
+           (s, e) -> CASE WHEN e[1] = s[1]
+             THEN [e[1], s[2] + 1, greatest(s[3], s[2] + 1)]
+             ELSE [e[1], 1::BIGINT, greatest(s[3], 1::BIGINT)] END
+         )[3] AS maxrun
+  FROM b
+)
+SELECT doc_id,
+       len(ws)::BIGINT AS n_words,
+       1.0::DOUBLE - len(list_distinct(ws))::DOUBLE / len(ws)::DOUBLE AS dup_word_frac,
+       maxrun::DOUBLE / (len(ws) - 1)::DOUBLE AS top_bigram_frac
+FROM r
+""",
+)
+def repetition_scores(spark, sf_dir):
+    """Gopher-style repetition quality filters: duplicate-word fraction +
+    top-bigram fraction per doc (operators/textstats.py), computed
+    shuffle-free by a per-row sorted-hash run-length fold."""
+    from .operators.textstats import repetition_scores as rs
+
+    return rs(load(spark, sf_dir, "documents"))
 
 
 def _langid_sql() -> str:

@@ -259,3 +259,56 @@ def embedding_near_dups(
     )
     pairs = cand.join(a, "id_a").join(b, "id_b")
     return _cos_pairs(pairs, threshold)
+
+
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """Dedup clusters: connected components over a near-dup pair graph via
+    min-label propagation — each node's label drops to the smallest id
+    reachable (component id = min member id, so the output is a pure
+    function of the edge set, independent of plan or iteration count).
+
+    The per-round step is one shuffle join (labels onto edge endpoints) +
+    one map-side-combined groupBy min (the GraphX/Pregel CC shape, O(V+E)
+    per round), followed by one pointer-jumping self-join (follow my
+    label's label), so a chain of length d converges in O(log d) rounds —
+    not the O(d) of plain neighbor-min — while clique-ish LSH near-dup
+    clusters still finish in 2-3. Each round materializes via
+    localCheckpoint: it truncates the lineage (the iterated plan would
+    otherwise grow unboundedly) and makes the convergence probe pay for
+    each round once. Driver-side control is one count() per round (a
+    scalar, not data).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint()
+    lbl = sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
+    lbl = lbl.localCheckpoint()
+    for _ in range(max_iter):
+        nb = (
+            sym.join(lbl.select(F.col("node").alias("b"), F.col("comp").alias("bcomp")), "b")
+            .groupBy("a")
+            .agg(F.min("bcomp").alias("nmin"))
+        )
+        new = (
+            lbl.join(nb.select(F.col("a").alias("node"), "nmin"), "node", "left")
+            .select("node", F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"))
+        )
+        # pointer jumping: comp <- min(comp, comp[comp]) — label paths halve
+        # every round, giving O(log diameter) total rounds
+        ptr = new.select(F.col("node").alias("c_node"), F.col("comp").alias("c_comp"))
+        new = (
+            new.join(ptr, new["comp"] == ptr["c_node"], "left")
+            .select("node", F.least(F.col("comp"), F.coalesce(F.col("c_comp"), F.col("comp"))).alias("comp"))
+        )
+        new = new.localCheckpoint()
+        changed = (
+            new.join(lbl.select("node", F.col("comp").alias("old")), "node")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        lbl = new
+        if changed == 0:
+            return lbl
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

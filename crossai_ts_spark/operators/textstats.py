@@ -89,3 +89,45 @@ def fingerprints(docs: DataFrame) -> DataFrame:
             "cast(0 as bigint), (a, c) -> pmod(a * 31 + c, 1000000007))"
         ).alias("fp"),
     )
+
+
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """Repetition-based quality filters (the Gopher/MassiveText family):
+    duplicate-word fraction and most-frequent-bigram fraction per doc —
+    the signals that catch boilerplate and degenerate machine-generated
+    text that length/stopword ratios miss.
+
+    Shuffle-free: the bigram multiplicity max is computed per row by
+    hash -> array_sort -> one linear run-length fold (no explode/groupBy;
+    a 100k-word doc costs O(w log w) inside codegen, and rows never leave
+    their partition).
+    """
+    words = _words()
+    d = docs.select(F.col("doc_id").cast("string").alias("doc_id"), words.alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    n = F.size("ws").cast("long")
+    dup = F.lit(1.0).cast("double") - F.size(F.array_distinct("ws")).cast("double") / F.size(
+        "ws"
+    ).cast("double")
+    bg = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - 2),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws("\x1f", F.slice("ws", i + 1, 2)).cast("binary")), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+    )
+    init = F.array(F.lit(-1).cast("long"), F.lit(0).cast("long"), F.lit(0).cast("long"))
+
+    def step(s, x):
+        run = F.when(x == s[0], s[1] + F.lit(1).cast("long")).otherwise(F.lit(1).cast("long"))
+        return F.array(x, run, F.greatest(s[2], run))
+
+    maxrun = F.aggregate(F.array_sort(bg), init, step)[2]
+    return d.select(
+        "doc_id",
+        n.alias("n_words"),
+        dup.alias("dup_word_frac"),
+        (maxrun.cast("double") / (n - 1).cast("double")).alias("top_bigram_frac"),
+    )

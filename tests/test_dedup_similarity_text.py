@@ -342,3 +342,50 @@ def test_skewed_embeddings_bucket_cap_engages(spark):
         (a, b) for a, b in zip(capped.id_a, capped.id_b) if a < 270 and b < 270
     ]
     assert ident == []
+
+
+def test_connected_components_min_label(spark):
+    from crossai_ts_spark.operators.dedup import connected_components
+
+    # path 1-2-3-4 (diameter 3), clique {7,8,9}, pair {20,21}
+    edges = [("2", "1"), ("2", "3"), ("3", "4"),
+             ("7", "8"), ("8", "9"), ("7", "9"),
+             ("20", "21")]
+    df = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    out = connected_components(df).toPandas().set_index("node").comp.to_dict()
+    assert out == {"1": "1", "2": "1", "3": "1", "4": "1",
+                   "7": "7", "8": "7", "9": "7", "20": "20", "21": "20"}
+
+    # result is independent of input partitioning
+    out13 = connected_components(df.repartition(13)).toPandas().set_index("node").comp.to_dict()
+    assert out13 == out
+
+
+def test_repetition_scores_semantics(spark):
+    from crossai_ts_spark.operators.textstats import repetition_scores
+
+    rows = [
+        (1, "a a a b", "en", "t"),          # dup 1-2/4=0.5; bigrams aa,aa,ab -> 2/3
+        (2, "w x y z", "en", "t"),          # no repetition
+        (3, "spam spam spam spam", "en", "t"),  # fully degenerate
+        (4, "solo", "en", "t"),             # < 2 words: filtered
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = repetition_scores(docs).toPandas().set_index("doc_id")
+    assert set(out.index) == {"1", "2", "3"}
+    assert out.loc["1", "dup_word_frac"] == 0.5
+    assert abs(out.loc["1", "top_bigram_frac"] - 2 / 3) < 1e-15
+    assert out.loc["2", "dup_word_frac"] == 0.0 and out.loc["2", "top_bigram_frac"] == 1 / 3
+    assert out.loc["3", "dup_word_frac"] == 0.75 and out.loc["3", "top_bigram_frac"] == 1.0
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 200-node chain (diameter 199) far exceeds the round budget of
+    plain neighbor-min propagation; pointer jumping converges in
+    O(log d) rounds."""
+    from crossai_ts_spark.operators.dedup import connected_components
+
+    edges = [(f"{i:04d}", f"{i+1:04d}") for i in range(199)]
+    df = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    out = connected_components(df, max_iter=12).toPandas()
+    assert (out.comp == "0000").all() and len(out) == 200
