@@ -50,6 +50,8 @@ HEADLINE_QUERIES = [
     "ep3_pipeline",
     # round-3 additions
     "ivf_ann",
+    "dedup_clusters",
+    "repetition_scores",
 ]
 
 

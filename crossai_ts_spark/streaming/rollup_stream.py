@@ -145,3 +145,18 @@ def incremental_tier1(chunked: DataFrame, w: int = 64) -> DataFrame:
     return chunked.groupBy("doc_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+def streaming_dedup(stream: DataFrame, text: str = "text", watermark: str = "1 minute") -> DataFrame:
+    """Streaming exact dedup: the first-seen doc per content hash survives.
+
+    The streaming counterpart of operators/dedup.dedup_exact: dedup state
+    is BOUNDED by the watermark (hash keys age out once the event-time
+    watermark passes them), so state size tracks the ingest window, not
+    the corpus — the property that makes continuous dedup viable at the
+    10^12-doc design point. Exactly-once across restarts comes from the
+    checkpointed state store like the incremental rollup.
+    """
+    s = stream.withColumn("ingest_ts", F.current_timestamp())
+    s = s.withColumn("h", F.md5(F.col(text).cast("binary")))
+    return s.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(["h"])

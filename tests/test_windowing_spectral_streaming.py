@@ -294,3 +294,31 @@ def test_incremental_tier1_restart_from_checkpoint(spark, tmp_path):
     # exactly-once: no duplicate (doc, window) rows, full equality to batch
     assert not got.duplicated(["doc_id", "window_start"]).any()
     pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    """Duplicates arriving in LATER micro-batches are dropped by the state
+    store; the surviving set matches batch dedup_exact canonicals."""
+    from crossai_ts_spark.streaming.rollup_stream import run_to_memory, streaming_dedup
+
+    in_dir = tmp_path / "docs_stream"
+    schema = "doc_id long, text string, lang string, source string"
+    b0 = [(1, "alpha beta gamma", "en", "t"), (2, "delta epsilon zeta", "en", "t")]
+    b1 = [(3, "alpha beta gamma", "en", "t"),  # dup of doc 1, later batch
+          (4, "eta theta iota", "en", "t"),
+          (5, "delta epsilon zeta", "en", "t")]  # dup of doc 2
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(str(in_dir / "b0"))
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(in_dir / "b1"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*")
+    )
+    run_to_memory(streaming_dedup(stream), "dedup_stream")
+    got = spark.sql("SELECT * FROM dedup_stream").toPandas()
+    assert len(got) == 3  # 5 in, 2 cross-batch dups dropped
+    assert set(got.h) == set(
+        r.h for r in spark.createDataFrame(b0 + b1, schema)
+        .selectExpr("md5(cast(text as binary)) h").distinct().collect()
+    )
