@@ -3078,6 +3078,71 @@ def resample_polyphase(spark, sf_dir):
     return seqs.mapInPandas(kernel, schema="doc_id string, out_len int, res_chk double")
 
 
+def _fir_exact_taps() -> list[float]:
+    # the resample_poly(up=2, down=3) prototype: 145-tap windowed sinc,
+    # cutoff 1/3 of the upsampled Nyquist, gain 2
+    from .functions.dsp2 import _sinc_fir
+
+    return [float(v) for v in (_sinc_fir(145, 1.0 / 3.0) * 2.0)]
+
+
+def _resample_fir_sql() -> str:
+    dlits = ", ".join(f"'{t!r}'::DOUBLE" for t in _fir_exact_taps())
+    return (
+        SQL_TOKLIST
+        + f"""
+, f AS (
+  SELECT doc_id, toks[1:64] AS x, [{dlits}] AS h FROM tok WHERE n >= 64
+), y AS (
+  SELECT doc_id,
+    list_transform(range(0, 43), j ->
+      floor(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0, 64), s ->
+        CASE WHEN 72 + j*3 - s*2 BETWEEN 0 AND 144
+        THEN x[s + 1]::DOUBLE * h[72 + j*3 - s*2 + 1]
+        ELSE 0.0::DOUBLE END)), (a, b) -> a + b) * 1048576.0::DOUBLE)::BIGINT) AS yq
+  FROM f
+)
+SELECT doc_id, 43::BIGINT AS out_len,
+       list_reduce(list_prepend(0::BIGINT, yq), (a, b) -> a + b) AS fir_chk
+FROM y
+"""
+    )
+
+
+@q("resample_fir_exact", _resample_fir_sql())
+def resample_fir_exact(spark, sf_dir):
+    """Polyphase 2/3-rate resampling as a FULL oracle (the strided form of
+    caits/core/_core_resample.py:14-76's quality path): y_j = sum_s
+    x[s] * h[delay + j*down - s*up] over the first 64 tokens, the exact
+    per-output dot products resample_poly's zero-stuff+convolve+decimate
+    computes (parity pinned in tests/test_dsp2.py). Shared float-literal
+    taps and identical ascending-s left folds on both engines make every
+    output bitwise equal, so the polyphase family is NOT inherently
+    rows-only — only the FFT fast path is. All JVM-side codegen: the taps
+    and input slice are materialized as columns so the HOF lambdas read
+    them per row instead of re-building per element."""
+    taps = _fir_exact_taps()
+    h_arr = "array(" + ", ".join(f"cast('{t!r}' as double)" for t in taps) + ")"
+    seqs = tokenize_documents(load(spark, sf_dir, "documents"))
+    d = seqs.filter(F.size("tokens") >= 64).select(
+        "doc_id",
+        F.expr("slice(tokens, 1, 64)").alias("x"),
+        F.expr(h_arr).alias("h"),
+    )
+    yq = (
+        "transform(sequence(0, 42), j -> cast(floor(aggregate(sequence(0, 63), "
+        "cast(0.0 as double), "
+        "(a, s) -> a + (CASE WHEN 72 + j*3 - s*2 BETWEEN 0 AND 144 "
+        "THEN cast(element_at(x, s + 1) as double) * element_at(h, 72 + j*3 - s*2 + 1) "
+        "ELSE cast(0.0 as double) END)) * cast(1048576.0 as double)) as bigint))"
+    )
+    return d.select(
+        "doc_id",
+        F.lit(43).cast("long").alias("out_len"),
+        F.expr(f"aggregate({yq}, cast(0 as bigint), (a, b) -> a + b)").alias("fir_chk"),
+    )
+
+
 # ------------------------------- minor parity set: peaks, split, shuffle,
 # hann-weighted rolling window
 

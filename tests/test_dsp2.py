@@ -167,3 +167,25 @@ def test_time_warp_deterministic_and_bounded():
     assert a[0] == x[0] and abs(a[-1] - x[-1]) < 1e-9
     assert not np.array_equal(a, x)  # it actually warps
     assert a.min() >= x.min() - 1e-9 and a.max() <= x.max() + 1e-9  # interp bounds
+
+
+def test_resample_fir_exact_formula_matches_resample_poly():
+    """The strided per-output dot product behind the resample_fir_exact
+    full oracle is the same math as resample_poly's
+    zero-stuff -> convolve -> decimate (only summation order differs)."""
+    import numpy as np
+
+    from crossai_ts_spark.entry_queries import _fir_exact_taps
+    from crossai_ts_spark.functions.dsp2 import resample_poly
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 255, 64).astype(np.float64)
+    y_poly = resample_poly(x, 2, 3)
+    taps = np.asarray(_fir_exact_taps())
+    y_manual = np.array([
+        sum(x[s] * taps[72 + 3 * j - 2 * s]
+            for s in range(64) if 0 <= 72 + 3 * j - 2 * s <= 144)
+        for j in range(43)
+    ])
+    assert y_poly.size == 43
+    np.testing.assert_allclose(y_manual, y_poly, rtol=1e-12, atol=1e-12)
