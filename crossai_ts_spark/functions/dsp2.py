@@ -258,12 +258,21 @@ def resample_fft(x: np.ndarray, num: int) -> np.ndarray:
     return np.fft.irfft(Y, num) * (num / n)
 
 
+# soxr_* quality ladder (caits/core/_core_resample.py res_type surface):
+# each maps to the polyphase engine with progressively longer prototype
+# filters — same tap counts ordering as the soxr quick/low/medium/high/
+# very-high presets (no external lib; the FIR designer is ours)
+_SOXR_TAPS = {"soxr_qq": 8, "soxr_lq": 12, "soxr_mq": 16, "soxr_hq": 24, "soxr_vhq": 32}
+
+
 def resample_signal(
     x: np.ndarray, orig_sr: float, target_sr: float, mode: str = "polyphase"
 ) -> np.ndarray:
     """caits/core/_core_resample.py:14-76 resample surface: 'polyphase'
-    (windowed-sinc, streaming-safe) or 'fft' (band-limited, exact integer
-    ratios / periodic frames)."""
+    (windowed-sinc, streaming-safe), 'fft' (band-limited, exact integer
+    ratios / periodic frames), or a 'soxr_*' quality preset (polyphase
+    with the matching prototype length; soxr_hq == the polyphase
+    default)."""
     if orig_sr == target_sr:
         return np.asarray(x, dtype=np.float64).copy()
     if int(orig_sr) != orig_sr or int(target_sr) != target_sr:
@@ -273,8 +282,12 @@ def resample_signal(
     if mode == "fft":
         x = np.asarray(x, dtype=np.float64)
         return resample_fft(x, int(round(x.size * up / down)))
+    if mode in _SOXR_TAPS:
+        return resample_poly(x, up, down, taps_per_phase=_SOXR_TAPS[mode])
     if mode != "polyphase":
-        raise ValueError(f"unknown resample mode {mode!r} (polyphase|fft)")
+        raise ValueError(
+            f"unknown resample mode {mode!r} (polyphase|fft|{'|'.join(_SOXR_TAPS)})"
+        )
     return resample_poly(x, up, down)
 
 

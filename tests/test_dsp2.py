@@ -155,7 +155,7 @@ def test_resample_signal_fft_mode():
     want = np.sin(2 * np.pi * 60 * np.arange(1600) / 1600)
     assert np.abs(y - want).max() < 1e-9
     with pytest.raises(ValueError):
-        resample_signal(x, 48000, 16000, mode="soxr_hq")
+        resample_signal(x, 48000, 16000, mode="nonsense_mode")
 
 
 def test_time_warp_deterministic_and_bounded():
@@ -189,3 +189,29 @@ def test_resample_fir_exact_formula_matches_resample_poly():
     ])
     assert y_poly.size == 43
     np.testing.assert_allclose(y_manual, y_poly, rtol=1e-12, atol=1e-12)
+
+
+def test_resample_soxr_quality_ladder():
+    """soxr_* presets map to the polyphase engine; higher quality = longer
+    prototype = better stopband (less energy above the new Nyquist)."""
+    import numpy as np
+
+    from crossai_ts_spark.functions.dsp2 import resample_signal
+
+    n = 4096
+    t = np.arange(n)
+    # a tone just above the 4 kHz target Nyquist: whatever the anti-alias
+    # filter fails to remove folds to 8000 - 4400 = 3600 Hz in the output
+    x = np.sin(2 * np.pi * 4400 * t / 16000)
+    hq = resample_signal(x, 16000, 8000, mode="soxr_hq")
+    qq = resample_signal(x, 16000, 8000, mode="soxr_qq")
+    assert hq.size == qq.size == n // 2
+    # identical to the default polyphase path at matching taps
+    assert np.array_equal(hq, resample_signal(x, 16000, 8000, mode="polyphase"))
+
+    def alias_energy(y):
+        sp = np.abs(np.fft.rfft(y[64:-64]))
+        f = np.fft.rfftfreq(y[64:-64].size, 1 / 8000)
+        return float((sp[(f > 3500) & (f < 3700)] ** 2).sum())
+
+    assert alias_energy(hq) < alias_energy(qq) / 10  # longer filter rejects more
