@@ -3078,6 +3078,54 @@ def resample_polyphase(spark, sf_dir):
     return seqs.mapInPandas(kernel, schema="doc_id string, out_len int, res_chk double")
 
 
+@q(
+    "asof_join_events",
+    """
+WITH r0 AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'view'
+), r AS (
+  SELECT user_id, ts, event_id, value FROM r0 WHERE rn = 1
+), l AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+)
+SELECT l.user_id, l.event_id AS l_event_id, epoch_us(l.ts) AS l_ts_us,
+       r.event_id AS r_event_id, epoch_us(r.ts) AS r_ts_us, r.value AS r_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def asof_join_events(spark, sf_dir):
+    """As-of join (operators/asof.py): every click matched to the same
+    user's most recent view at or before it. Spark side is the union-tag +
+    ordered-window LOCF form (one shuffle, no range-join blow-up); oracle
+    is DuckDB's native ASOF LEFT JOIN. Right side deduped to one row per
+    (user, ts) — max event_id — so the nearest-tie is deterministic on
+    both engines."""
+    from .operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    wdedup = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    r = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(wdedup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    left = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    j = asof_join(left, r, on="ts", by=["user_id"], direction="backward")
+    epoch = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+    return j.select(
+        "user_id",
+        F.col("event_id").alias("l_event_id"),
+        F.expr(epoch.format(c="ts")).alias("l_ts_us"),
+        F.col("r_event_id"),
+        F.expr(epoch.format(c="r_ts")).alias("r_ts_us"),
+        F.col("r_value"),
+    )
+
+
 def _fir_exact_taps() -> list[float]:
     # the resample_poly(up=2, down=3) prototype: 145-tap windowed sinc,
     # cutoff 1/3 of the upsampled Nyquist, gain 2

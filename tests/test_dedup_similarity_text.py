@@ -389,3 +389,38 @@ def test_connected_components_long_chain_converges(spark):
     df = spark.createDataFrame(edges, "doc_a string, doc_b string")
     out = connected_components(df, max_iter=12).toPandas()
     assert (out.comp == "0000").all() and len(out) == 200
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+
+    from crossai_ts_spark.operators.asof import asof_join
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [(1, t(10), 100), (1, t(20), 101), (1, t(5), 102), (2, t(10), 200)],
+        "user_id long, ts timestamp_ntz, event_id long",
+    )
+    right = spark.createDataFrame(
+        [(1, t(8), 900, 1.5), (1, t(10), 901, 2.5), (1, t(30), 902, 3.5)],
+        "user_id long, ts timestamp_ntz, event_id long, value double",
+    )
+
+    back = asof_join(left, right, direction="backward").toPandas().set_index("event_id")
+    assert back.loc[100, "r_event_id"] == 901        # equal ts is inclusive
+    assert back.loc[101, "r_event_id"] == 901        # most recent <= 20s
+    assert np.isnan(back.loc[102, "r_event_id"])     # nothing before 5s
+    assert np.isnan(back.loc[200, "r_event_id"])     # user 2 has no views
+
+    fwd = asof_join(left, right, direction="forward").toPandas().set_index("event_id")
+    assert fwd.loc[100, "r_event_id"] == 901         # equal ts inclusive forward too
+    assert fwd.loc[101, "r_event_id"] == 902
+    assert fwd.loc[102, "r_event_id"] == 900
+
+    tol = asof_join(left, right, direction="backward", tolerance_us=2_000_000)
+    tolp = tol.toPandas().set_index("event_id")
+    assert tolp.loc[100, "r_event_id"] == 901        # gap 0 <= 2s
+    assert np.isnan(tolp.loc[101, "r_event_id"])     # gap 10s > 2s -> nulled
+    assert len(tolp) == 4                            # merge_asof: rows kept
