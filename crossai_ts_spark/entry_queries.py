@@ -3079,6 +3079,69 @@ def resample_polyphase(spark, sf_dir):
 
 
 @q(
+    "session_window_native",
+    SQL_EV
+    + """
+, s AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 60000000
+              THEN 1 ELSE 0 END AS brk
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), g AS (
+  SELECT user_id, us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id, MIN(us) AS sess_start_us, MAX(us) + 60000000 AS sess_end_us,
+       COUNT(*)::BIGINT AS n_events
+FROM g GROUP BY user_id, sid
+""",
+)
+def session_window_native(spark, sf_dir):
+    """Spark's NATIVE session windows (F.session_window, 60 s gap) — the
+    built-in operator behind the manual islands `sessionization` query;
+    probe-verified semantics: an event extends the session when its gap to
+    the previous event is <= the window gap, session end = last + gap.
+    One shuffle on the grouping key; oracle = lag/cumsum islands."""
+    ev = load(spark, sf_dir, "events")
+    epoch = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+    g = ev.groupBy("user_id", F.session_window("ts", "60 seconds")).agg(
+        F.count("*").alias("n_events")
+    )
+    return g.select(
+        "user_id",
+        F.expr(epoch.format(c="session_window.start")).alias("sess_start_us"),
+        F.expr(epoch.format(c="session_window.end")).alias("sess_end_us"),
+        "n_events",
+    )
+
+
+@q(
+    "json_props_stats",
+    """
+SELECT event_type,
+       COUNT(*)::BIGINT AS n,
+       SUM(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_sum,
+       MAX(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_max,
+       SUM(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END)::BIGINT AS k_null
+FROM events GROUP BY event_type
+""",
+)
+def json_props_stats(spark, sf_dir):
+    """Semi-structured props column: JSON path extraction (get_json_object
+    -> JVM Jackson, no Python) aggregated per event type — the §2.7
+    string-function surface over the events table's JSON payload."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("k_sum"),
+        F.max(k).alias("k_max"),
+        F.sum(F.when(k.isNull(), 1).otherwise(0)).alias("k_null"),
+    )
+
+
+@q(
     "asof_join_events",
     """
 WITH r0 AS (
