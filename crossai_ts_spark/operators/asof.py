@@ -12,6 +12,14 @@ expansion. At 10^12 rows that is the difference between a plan that runs
 and one that doesn't. Right rows must be unique per (by, on) for a
 deterministic match (dedup upstream; the nearest-tie among right rows is
 otherwise plan-dependent on every engine).
+
+Skew: one hot key lands its whole timeline in one task, like every
+ordered-window op. The standard refinement when a single key outgrows an
+executor is time-bucketed two-phase processing — partition by (key,
+time_bucket), compute each bucket's last right row, and prepend it to the
+next bucket as a boundary carry — which preserves these exact semantics;
+not implemented here because the per-key state is two timestamps, not the
+token arrays that motivated salting elsewhere (operators/salted.py).
 """
 
 from __future__ import annotations

@@ -160,3 +160,27 @@ def streaming_dedup(stream: DataFrame, text: str = "text", watermark: str = "1 m
     s = stream.withColumn("ingest_ts", F.current_timestamp())
     s = s.withColumn("h", F.md5(F.col(text).cast("binary")))
     return s.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(["h"])
+
+
+def streaming_sessions(stream: DataFrame, ts_col: str = "ts", gap: str = "60 seconds",
+                       delay: str = "10 seconds") -> DataFrame:
+    """Stateful NATIVE session windows over an event stream: sessions merge
+    while the event gap stays within `gap`, and a session is emitted
+    (append mode) once the event-time watermark passes its end — i.e. the
+    state store holds only open sessions inside the watermark horizon.
+    The streaming twin of the batch session_window_native query.
+
+    Watermarks require TIMESTAMP (tz-aware): an NTZ event-time column is
+    cast in place (session TZ; wall-clock preserved)."""
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream.withWatermark(ts_col, delay)
+        .groupBy("user_id", F.session_window(F.col(ts_col), gap))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "n_events",
+        )
+    )

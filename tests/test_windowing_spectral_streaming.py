@@ -322,3 +322,47 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
         r.h for r in spark.createDataFrame(b0 + b1, schema)
         .selectExpr("md5(cast(text as binary)) h").distinct().collect()
     )
+
+
+def test_streaming_sessions_match_batch_closed_sessions(spark, tmp_path):
+    """Streamed native session windows (append mode) emit exactly the
+    sessions the final watermark has closed, identical to the batch
+    session_window aggregation restricted to those sessions."""
+    from crossai_ts_spark.streaming.rollup_stream import run_to_memory, streaming_sessions
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .selectExpr("user_id", "cast(ts as timestamp) ts")
+    )
+    in_dir = tmp_path / "ev_stream"
+    # two micro-batches split by time so sessions span batch boundaries
+    import pyspark.sql.functions as F
+    mid = ev.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
+    us = F.expr("unix_micros(ts)")
+    ev.filter(us <= mid).coalesce(1).write.parquet(str(in_dir / "b0"))
+    ev.filter(us > mid).coalesce(1).write.parquet(str(in_dir / "b1"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*")
+    )
+    run_to_memory(streaming_sessions(stream), "sess_stream")
+    got = spark.sql("SELECT * FROM sess_stream").toPandas()
+
+    batch = (
+        ev.groupBy("user_id", F.session_window("ts", "60 seconds"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("session_window.start").alias("sess_start"),
+                F.col("session_window.end").alias("sess_end"), "n_events")
+    ).toPandas()
+    wm = ev.agg(F.max("ts")).collect()[0][0]
+    import pandas as pd
+    closed = batch[batch.sess_end <= wm - pd.Timedelta(seconds=10)]
+
+    key = ["user_id", "sess_start"]
+    g = got.sort_values(key).reset_index(drop=True)
+    c = closed.sort_values(key).reset_index(drop=True)
+    assert len(g) > 50  # the stream genuinely emitted sessions
+    pd.testing.assert_frame_equal(g[key + ["sess_end", "n_events"]],
+                                  c[key + ["sess_end", "n_events"]])
