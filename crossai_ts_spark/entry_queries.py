@@ -3079,6 +3079,70 @@ def resample_polyphase(spark, sf_dir):
 
 
 @q(
+    "bloom_prune_orders",
+    """
+WITH bp AS (
+  SELECT (('0x' || substr(md5(i::VARCHAR || ':' || c_custkey::VARCHAR), 1, 15))::BIGINT
+          % 16384) AS pos
+  FROM customer, unnest([0, 1, 2]) AS t(i)
+  WHERE c_acctbal > 5000
+), b AS (
+  SELECT (pos // 32) AS block, bit_or(1::BIGINT << (pos % 32)::INT) AS bits
+  FROM bp GROUP BY 1
+), arr AS (
+  SELECT list(coalesce(b.bits, 0) ORDER BY g.blk) AS bs
+  FROM generate_series(0, 511) AS g(blk) LEFT JOIN b ON b.block = g.blk
+), mem AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 5000
+), p AS (
+  SELECT o.o_custkey,
+         (o.o_custkey IN (SELECT c_custkey FROM mem)) AS is_member,
+         ((arr.bs[((('0x' || substr(md5('0:' || o.o_custkey::VARCHAR), 1, 15))::BIGINT % 16384) // 32) + 1]
+             & (1::BIGINT << ((('0x' || substr(md5('0:' || o.o_custkey::VARCHAR), 1, 15))::BIGINT % 16384) % 32)::INT)) != 0
+          AND (arr.bs[((('0x' || substr(md5('1:' || o.o_custkey::VARCHAR), 1, 15))::BIGINT % 16384) // 32) + 1]
+             & (1::BIGINT << ((('0x' || substr(md5('1:' || o.o_custkey::VARCHAR), 1, 15))::BIGINT % 16384) % 32)::INT)) != 0
+          AND (arr.bs[((('0x' || substr(md5('2:' || o.o_custkey::VARCHAR), 1, 15))::BIGINT % 16384) // 32) + 1]
+             & (1::BIGINT << ((('0x' || substr(md5('2:' || o.o_custkey::VARCHAR), 1, 15))::BIGINT % 16384) % 32)::INT)) != 0
+         ) AS bloom_pass
+  FROM orders o, arr
+)
+SELECT COUNT(*)::BIGINT AS n_probe,
+       SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+       SUM(CASE WHEN is_member THEN 1 ELSE 0 END)::BIGINT AS n_true,
+       SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)::BIGINT AS n_fp,
+       SUM(CASE WHEN is_member AND NOT bloom_pass THEN 1 ELSE 0 END)::BIGINT AS n_missed
+FROM p
+""",
+)
+def bloom_prune_orders(spark, sf_dir):
+    """Bloom-filter join pruning (operators/bloom.py): build a 16 Kbit /
+    3-hash filter over high-balance customers (distributed bit_or build,
+    2 KB bitset collected control-plane), probe every order with a pure
+    narrow-map bit test, and report probe/pass/true/false-positive counts
+    plus n_missed (MUST be 0 — Bloom filters have no false negatives).
+    The sketch is md5-derived so DuckDB reproduces the identical bitset
+    and the identical false positives."""
+    from .operators.bloom import bloom_bitset, bloom_build, bloom_test_col
+
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    bits = bloom_bitset(bloom_build(cust.select("c_custkey"), "c_custkey"))
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    mem = cust.select("c_custkey").distinct()
+    p = (
+        orders.join(F.broadcast(mem), orders.o_custkey == mem.c_custkey, "left")
+        .withColumn("is_member", F.col("c_custkey").isNotNull())
+        .withColumn("bloom_pass", bloom_test_col(bits, F.col("o_custkey")))
+    )
+    return p.agg(
+        F.count("*").alias("n_probe"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias("n_pass"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).alias("n_true"),
+        F.sum(F.when(F.col("bloom_pass") & ~F.col("is_member"), 1).otherwise(0)).alias("n_fp"),
+        F.sum(F.when(F.col("is_member") & ~F.col("bloom_pass"), 1).otherwise(0)).alias("n_missed"),
+    )
+
+
+@q(
     "session_window_native",
     SQL_EV
     + """

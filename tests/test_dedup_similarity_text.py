@@ -424,3 +424,19 @@ def test_asof_join_semantics(spark):
     assert tolp.loc[100, "r_event_id"] == 901        # gap 0 <= 2s
     assert np.isnan(tolp.loc[101, "r_event_id"])     # gap 10s > 2s -> nulled
     assert len(tolp) == 4                            # merge_asof: rows kept
+
+
+def test_bloom_build_prune_no_false_negatives(spark):
+    from crossai_ts_spark.operators.bloom import bloom_bitset, bloom_build, bloom_prune
+
+    build = spark.range(0, 2000, 2).withColumnRenamed("id", "key")  # evens < 2000
+    probe = spark.range(0, 8000).withColumnRenamed("id", "key")
+    bits = bloom_bitset(bloom_build(build, "key", m=16384, k=3), m=16384)
+    assert len(bits) == 512 and any(b != 0 for b in bits)
+
+    passed = set(r.key for r in bloom_prune(probe, bits, "key", m=16384, k=3).collect())
+    members = set(range(0, 2000, 2))
+    assert members <= passed                      # NO false negatives, ever
+    fp = len(passed - members)
+    assert fp / (8000 - len(members)) < 0.05      # pruning actually prunes
+    assert len(passed) < 8000
