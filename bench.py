@@ -52,6 +52,9 @@ HEADLINE_QUERIES = [
     "ivf_ann",
     "dedup_clusters",
     "repetition_scores",
+    "asof_join_events",
+    "bloom_prune_orders",
+    "session_window_native",
 ]
 
 
