@@ -3079,6 +3079,49 @@ def resample_polyphase(spark, sf_dir):
 
 
 @q(
+    "lm_perplexity",
+    r"""
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS ws
+  FROM documents
+), f AS (
+  SELECT doc_id, ws FROM w WHERE len(ws) >= 2
+), e AS (
+  SELECT doc_id, i AS pos, ws[i + 1] AS w1, ws[i + 2] AS w2
+  FROM f, unnest(range(0, len(ws) - 1)) AS t(i)
+), cb AS (
+  SELECT w1, w2, COUNT(*)::BIGINT AS c12 FROM e GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, COUNT(*)::BIGINT AS c1 FROM e GROUP BY w1
+), v AS (
+  SELECT COUNT(DISTINCT x)::BIGINT AS v FROM (SELECT unnest(ws) AS x FROM w)
+), s AS (
+  SELECT e.doc_id, e.pos, ln((cb.c12 + 1)::DOUBLE / (c1.c1 + v.v)::DOUBLE) AS term
+  FROM e JOIN cb USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+), g AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams, list(term ORDER BY pos) AS terms
+  FROM s GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       list_reduce(list_prepend(0::BIGINT,
+         list_transform(terms, t -> floor(-t * 1048576.0)::BIGINT)),
+         (a, b) -> a + b) AS nll_q
+FROM g
+""",
+)
+def lm_perplexity(spark, sf_dir):
+    """LM-based quality filtering (operators/textstats.lm_bigram_nll):
+    add-1-smoothed bigram model fit on the corpus, per-doc NLL via a
+    position-ordered fold of floor-quantized terms (pure int64 sum —
+    JVM and DuckDB ln() differ in the last ulp on some inputs, so raw
+    double folds are not cross-engine exact)."""
+    from .operators.textstats import lm_bigram_nll
+
+    return lm_bigram_nll(load(spark, sf_dir, "documents"), quantize=20)
+
+
+@q(
     "bloom_prune_orders",
     """
 WITH bp AS (

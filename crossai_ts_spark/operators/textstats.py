@@ -131,3 +131,63 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
         dup.alias("dup_word_frac"),
         (maxrun.cast("double") / (n - 1).cast("double")).alias("top_bigram_frac"),
     )
+
+
+def lm_bigram_nll(docs: DataFrame, quantize: int | None = None) -> DataFrame:
+    """CCNet/Gopher-style language-model quality score: fit an add-1
+    smoothed bigram LM on the corpus itself, score each doc by mean
+    negative log-likelihood (high = out-of-distribution/garbled).
+
+    Distributed fit = two count aggregations over the exploded bigram
+    table; scoring joins the model back (at web scale: shuffle joins on
+    the bigram key — the model IS data-sized, never driver-collected).
+    The per-doc sum folds a position-ordered list so the float addition
+    order is fixed — a plain groupBy SUM over doubles is partition-order-
+    dependent and can't be mirrored exactly by another engine. With
+    `quantize` = q, each term ships as floor(-ln(p) * 2^q) and the sum is
+    pure int64 (`nll_q` column): JVM Math.log and C libm ln disagree in
+    the last ulp on some inputs, so a raw double fold is NOT cross-engine
+    exact — the measured failure that motivated this knob.
+    """
+    words = _words()
+    d = docs.select(F.col("doc_id").cast("string").alias("doc_id"), words.alias("ws"))
+    f = d.filter(F.size("ws") >= 2)
+    bg = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - 2),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.element_at("ws", i + 1).alias("w1"),
+            F.element_at("ws", i + 2).alias("w2"),
+        ),
+    )
+    e = f.select("doc_id", F.explode(bg).alias("p")).select(
+        "doc_id", F.col("p.pos").alias("pos"), F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    cb = e.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = e.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = d.select(F.explode("ws").alias("x")).agg(F.countDistinct("x").alias("v"))
+    term = F.log(
+        (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v")).cast("double")
+    )
+    s = (
+        e.join(cb, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", "pos", term.alias("term"))
+    )
+    g = s.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sort_array(F.collect_list(F.struct("pos", "term"))).alias("terms"),
+    )
+    if quantize is not None:
+        scale = float(1 << quantize)
+        nll_q = F.aggregate(
+            F.col("terms"),
+            F.lit(0).cast("long"),
+            lambda a, t: a + F.floor(-t["term"] * F.lit(scale)).cast("long"),
+        )
+        return g.select("doc_id", "n_bigrams", nll_q.alias("nll_q"))
+    nll = -F.aggregate(
+        F.col("terms"), F.lit(0.0).cast("double"), lambda a, t: a + t["term"]
+    ) / F.col("n_bigrams").cast("double")
+    return g.select("doc_id", "n_bigrams", nll.alias("avg_nll"))

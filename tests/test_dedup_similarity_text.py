@@ -440,3 +440,25 @@ def test_bloom_build_prune_no_false_negatives(spark):
     fp = len(passed - members)
     assert fp / (8000 - len(members)) < 0.05      # pruning actually prunes
     assert len(passed) < 8000
+
+
+def test_lm_bigram_nll_semantics(spark):
+    import math
+
+    from crossai_ts_spark.operators.textstats import lm_bigram_nll
+
+    rows = [(1, "a b a b", "en", "t"), (2, "a b", "en", "t"), (3, "b z", "en", "t")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = lm_bigram_nll(docs).toPandas().set_index("doc_id")
+    # corpus bigrams: ab x3, ba x1, bz x1; c(a)=3? no: contexts a x3, b x2; V=3
+    # p(b|a) = (3+1)/(3+3); p(a|b) = (1+1)/(2+3); p(z|b) = (1+1)/(2+3)
+    p_ab, p_ba, p_bz = 4 / 6, 2 / 5, 2 / 5
+    expect1 = -(math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3
+    assert abs(out.loc["1", "avg_nll"] - expect1) < 1e-12
+    assert out.loc["1", "n_bigrams"] == 3
+    assert abs(out.loc["2", "avg_nll"] + math.log(p_ab)) < 1e-12
+    # rare continuation scores worse than the common one
+    assert out.loc["3", "avg_nll"] > out.loc["2", "avg_nll"]
+
+    q = lm_bigram_nll(docs, quantize=20).toPandas().set_index("doc_id")
+    assert q.loc["2", "nll_q"] == math.floor(-math.log(p_ab) * 1048576.0)
