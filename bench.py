@@ -55,6 +55,7 @@ HEADLINE_QUERIES = [
     "asof_join_events",
     "bloom_prune_orders",
     "session_window_native",
+    "lm_perplexity",
 ]
 
 
