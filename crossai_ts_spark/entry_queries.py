@@ -2700,7 +2700,13 @@ def compressed_tiers_oracled(spark, sf_dir):
     from .functions.codecs import compress_tiers, decompress_tiers
 
     seqs = tokenize_documents(load(spark, sf_dir, "documents"))
-    tiers = cascade_native(seqs, w=32, fanout=8, tiers=2)
+    # tier rows feed BOTH the original-side digest and the encode->decode
+    # lap; persisting them stops the tokenize+cascade upstream running
+    # twice (tier rows are ~w x smaller than the raw tokens, so this is
+    # cache-the-small-intermediate, not cache-the-input)
+    from pyspark.storagelevel import StorageLevel
+
+    tiers = cascade_native(seqs, w=32, fanout=8, tiers=2).persist(StorageLevel.MEMORY_AND_DISK)
     segs = compress_tiers(tiers)
     dec = decompress_tiers(segs)
     # join-free multiset equality: per tier, compare a collision-resistant
