@@ -56,14 +56,24 @@ def lsh_bucket(df: DataFrame, dim: int, n_bits: int = 8, seed: int = 42,
     """
     planes = _hyperplanes(dim, n_bits, seed)
     bucket = None
+
+    def dot(a, b):
+        # identical left fold to _DOT (zip -> double product -> +)
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
     for i, p in enumerate(planes):
-        # explicit cast per literal: repr() round-trips the float64 exactly
-        # and the cast pins the array element type to double (a bare
-        # fractional literal would parse as decimal and force an implicit
-        # array-wide type unification)
-        lits = ", ".join(f"cast('{float(x)!r}' as double)" for x in p)
-        dot = F.expr(_DOT.format(a=vec, b=f"array({lits})"))
-        bit = F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        # one ArrayType literal node per plane (F.lit(list)) — building
+        # each element as a cast('..' as double) expression made the
+        # near-dup plans' analysis/codegen the dominant cost (same lesson
+        # as the IVF centroids); values are bit-identical either way
+        arr = F.lit([float(x) for x in p]).cast("array<double>")
+        bit = F.when(dot(F.col(vec), arr) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         bucket = bit if bucket is None else bucket + bit
     return df.withColumn("bucket", bucket)
 
