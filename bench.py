@@ -132,6 +132,9 @@ def main() -> int:
                 break
             trials.append(round(time.monotonic() - t0, 3))
         q_trials[name] = trials
+        from crossai_ts_spark.caching import release_tracked
+
+        release_tracked()  # drop operator-tracked caches between queries
         good = [t for t in trials if t >= 0]
         # flaky (some good trials, then a failure) still reports the good
         # min; the -1.0 in the trials artifact marks the flake. Only a

@@ -2703,10 +2703,11 @@ def compressed_tiers_oracled(spark, sf_dir):
     # tier rows feed BOTH the original-side digest and the encode->decode
     # lap; persisting them stops the tokenize+cascade upstream running
     # twice (tier rows are ~w x smaller than the raw tokens, so this is
-    # cache-the-small-intermediate, not cache-the-input)
-    from pyspark.storagelevel import StorageLevel
+    # cache-the-small-intermediate, not cache-the-input). Tracked so
+    # harnesses can release the cache after their consuming action.
+    from .caching import tracked_persist
 
-    tiers = cascade_native(seqs, w=32, fanout=8, tiers=2).persist(StorageLevel.MEMORY_AND_DISK)
+    tiers = tracked_persist(cascade_native(seqs, w=32, fanout=8, tiers=2))
     segs = compress_tiers(tiers)
     dec = decompress_tiers(segs)
     # join-free multiset equality: per tier, compare a collision-resistant

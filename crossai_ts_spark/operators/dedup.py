@@ -105,7 +105,11 @@ def lsh_candidate_pairs(
         # signature "model" — n_docs x n_bands narrow rows, orders of
         # magnitude smaller than the corpus — so MEMORY_AND_DISK is safe at
         # any scale (a production pipeline would write it to a table).
-        bt = bt.persist(StorageLevel.MEMORY_AND_DISK)
+        # Tracked so harnesses can caching.release_tracked() after the
+        # consuming action rather than pinning storage for the app lifetime.
+        from ..caching import tracked_persist
+
+        bt = tracked_persist(bt, StorageLevel.MEMORY_AND_DISK)
         big = (
             bt.groupBy("band", "key")
             .agg(F.count("*").alias("_bn"))

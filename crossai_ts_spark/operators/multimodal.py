@@ -1,13 +1,15 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested; the actual media DECODE is stubbed behind
-``decoder=`` because the sandbox image has no PIL/soundfile/av. At
-deploy time you inject a real decoder with the same signature
-(bytes -> np.ndarray) and nothing else changes.
+signatures) is real and tested. Decoding:
 
-The deterministic fake decoder makes the pipeline testable end-to-end:
-it derives a fixed-shape float array from the payload bytes.
+- audio: REAL everywhere — PCM WAV via stdlib ``wave`` + numpy
+  (decode_wav), upgraded to soundfile for non-WAV formats when present.
+- image/video: real via PIL/av when the deploy image has them; this
+  sandbox has neither, so they fall back to the deterministic fake
+  (fixed-shape float array derived from a payload digest), keeping the
+  pipeline testable end-to-end. Injecting a decoder with the same
+  signature (bytes, kind) -> np.ndarray changes nothing else.
 """
 
 from __future__ import annotations
@@ -60,9 +62,60 @@ _KIND_LIB = {"image": "PIL", "audio": "soundfile", "video": "av"}
 def has_real_decoder(kind: str) -> bool:
     return {
         "image": _PIL_IMAGE is not None,
-        "audio": _SOUNDFILE is not None,
+        "audio": True,  # soundfile when present, stdlib wave for PCM WAV always
         "video": _AV is not None,
     }.get(kind, False)
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """Pure-stdlib PCM WAV decode (caits/loading/_audio.py:16-72 analog).
+
+    `wave` + numpy only — no soundfile needed, so audio decode is REAL in
+    environments without media libraries. Handles PCM8 (unsigned), PCM16,
+    PCM24, PCM32; multi-channel is mono-mixed by mean. Returns float32
+    in [-1, 1]."""
+    import io
+    import wave as _wave
+
+    with _wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if width == 1:  # unsigned 8-bit
+        x = np.frombuffer(frames, dtype=np.uint8).astype(np.float32)
+        x = (x - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 3:  # packed 24-bit little-endian -> sign-extend via i4
+        b = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3)
+        x4 = np.zeros((b.shape[0], 4), dtype=np.uint8)
+        x4[:, 1:] = b  # shift left 8; divide by 2^31 below keeps scale
+        x = x4.view("<i4").ravel().astype(np.float32) / 2147483648.0
+    elif width == 4:
+        x = np.frombuffer(frames, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise NotImplementedError(f"unsupported PCM sample width {width}")
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x.astype(np.float32)
+
+
+def encode_wav(wave_f32: np.ndarray, sr: int = 16000) -> bytes:
+    """Inverse of decode_wav for test/synthesis use: float32 [-1,1] -> PCM16 WAV."""
+    import io
+    import wave as _wave
+
+    # symmetric with decode_wav's /32768 so round-trip error is pure
+    # half-lsb quantization (<= 0.5/32768)
+    pcm = np.clip(np.round(np.asarray(wave_f32, dtype=np.float64) * 32768.0), -32768, 32767)
+    pcm16 = pcm.astype("<i2")
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm16.tobytes())
+    return buf.getvalue()
 
 
 def real_decoder(payload: bytes, kind: str) -> np.ndarray:
@@ -77,9 +130,11 @@ def real_decoder(payload: bytes, kind: str) -> np.ndarray:
     if kind == "image" and _PIL_IMAGE is not None:  # pragma: no cover
         img = _PIL_IMAGE.open(io.BytesIO(payload))
         return np.asarray(img, dtype=np.float32) / 255.0
-    if kind == "audio" and _SOUNDFILE is not None:  # pragma: no cover
-        wave, _sr = _SOUNDFILE.read(io.BytesIO(payload), dtype="float32")
-        return wave.mean(axis=1) if wave.ndim == 2 else wave
+    if kind == "audio":
+        if _SOUNDFILE is not None:  # pragma: no cover - not in sandbox image
+            wave, _sr = _SOUNDFILE.read(io.BytesIO(payload), dtype="float32")
+            return wave.mean(axis=1) if wave.ndim == 2 else wave
+        return decode_wav(payload)  # stdlib path: real in this sandbox
     if kind == "video" and _AV is not None:  # pragma: no cover
         with _AV.open(io.BytesIO(payload)) as container:
             for frame in container.decode(video=0):
@@ -92,9 +147,16 @@ def real_decoder(payload: bytes, kind: str) -> np.ndarray:
 
 
 def auto_decoder(payload: bytes, kind: str) -> np.ndarray:
-    """real_decoder when the kind's library exists, fake_decoder otherwise —
-    the decode path upgrades itself on a fully-provisioned image."""
-    if has_real_decoder(kind):  # pragma: no cover - not in sandbox image
+    """real_decoder when the kind's library can handle this payload,
+    fake_decoder otherwise — the decode path upgrades itself on a
+    fully-provisioned image.
+
+    The stdlib-audio path only claims RIFF/WAVE payloads (sniffed by
+    magic); non-WAV audio bytes without soundfile fall back to the fake,
+    so synthetic digest payloads keep working unchanged."""
+    if kind == "audio" and _SOUNDFILE is None and payload[:4] != b"RIFF":
+        return fake_decoder(payload, kind)
+    if has_real_decoder(kind):
         return real_decoder(payload, kind)
     return fake_decoder(payload, kind)
 
@@ -134,16 +196,68 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synth_wav_media(spark, n: int = 16, seed: int = 42, sr: int = 16000,
+                    n_samples: int = 800) -> DataFrame:
+    """Synthetic audio table whose payloads are GENUINE PCM16 WAV bytes
+    (deterministic per-row sinusoid + noise), so the stdlib decode path is
+    exercised end-to-end through Spark, not just unit-tested."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rng = np.random.default_rng([seed, int(i)])
+                f0 = 100.0 + 37.0 * (int(i) % 11)
+                t = np.arange(n_samples) / sr
+                wave = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.05 * rng.normal(0, 1, n_samples)
+                rows.append(
+                    {
+                        "media_id": f"wav-{int(i):06d}",
+                        "kind": "audio",
+                        "payload": encode_wav(wave.astype(np.float32), sr),
+                        "meta_width": None,
+                        "meta_height": None,
+                        "meta_sr": sr,
+                        "meta_frames": None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def pool_features(arr: np.ndarray, dim: int = 64) -> np.ndarray:
+    """Mean-pool a raveled decode output to a FIXED feature dim.
+
+    Real decodes return shape-dependent arrays (full-res pixels, whole
+    waveforms); downstream ANN/LSH consumers fold over dim-64 embeddings
+    and would silently produce nulls on anything else. Pooling here pins
+    the contract: split the raveled signal into `dim` contiguous chunks
+    and mean each (zero-pad the tail chunk)."""
+    flat = np.asarray(arr, dtype=np.float32).ravel()
+    if flat.size == dim:
+        return flat
+    if flat.size < dim:
+        return np.pad(flat, (0, dim - flat.size))
+    n = int(np.ceil(flat.size / dim)) * dim
+    padded = np.pad(flat, (0, n - flat.size))
+    return padded.reshape(dim, -1).mean(axis=1).astype(np.float32)
+
+
 def extract_features(
     media: DataFrame,
     decoder: Decoder = auto_decoder,
     max_batch_bytes: int = 64 << 20,
+    feature_dim: int = 64,
 ) -> DataFrame:
-    """binary payload -> embedding via Arrow-batched kernel.
+    """binary payload -> fixed-dim embedding via Arrow-batched kernel.
 
     mapInPandas keeps payloads off the driver and lets the decoder run
     per batch; partitioning is whatever the upstream scan gives (binary
-    payloads dominate size, so files are the natural unit).
+    payloads dominate size, so files are the natural unit). Every decode
+    output is pooled to exactly `feature_dim` floats (pool_features), so
+    the embedding column has one consistent shape whether the decoder is
+    the 64-feature fake or a real full-resolution decode.
 
     Arrow's maxRecordsPerBatch is ROW-count based — 256 rows of multi-MB
     payloads is gigabytes resident — so the kernel re-slices each incoming
@@ -152,12 +266,17 @@ def extract_features(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def emit(pdf: pd.DataFrame) -> pd.DataFrame:
-            feats = [decoder(bytes(p), k) for p, k in zip(pdf["payload"], pdf["kind"])]
+            feats = [
+                pool_features(decoder(bytes(p), k), feature_dim)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            bad = [f.shape for f in feats if f.shape != (feature_dim,)]
+            assert not bad, f"pooled embedding shape drifted: {bad[:3]}"
             return pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "embedding": [f.astype(np.float32).ravel() for f in feats],
+                    "embedding": feats,
                     "payload_bytes": pdf["payload"].map(len).astype("int64"),
                 }
             )
@@ -198,8 +317,8 @@ def load_audio_resampled(media: DataFrame, target_sr: int = 8000,
                          decoder: Decoder = auto_decoder) -> DataFrame:
     """wav_loader parity (caits/loading/_audio.py:55-62): decode audio then
     resample to target_sr AT LOAD TIME via the real polyphase resampler
-    (functions/dsp2.resample_signal). The decode step is the sandbox stub
-    (no soundfile); the resample path, schema, and batch shape are real."""
+    (functions/dsp2.resample_signal). WAV payloads decode for real via
+    stdlib decode_wav; non-WAV audio without soundfile uses the fake."""
     from ..functions.dsp2 import resample_signal
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

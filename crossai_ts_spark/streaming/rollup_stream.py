@@ -147,17 +147,30 @@ def incremental_tier1(chunked: DataFrame, w: int = 64) -> DataFrame:
     )
 
 
-def streaming_dedup(stream: DataFrame, text: str = "text", watermark: str = "1 minute") -> DataFrame:
+def streaming_dedup(stream: DataFrame, text: str = "text", watermark: str = "1 minute",
+                    event_ts: str | None = None) -> DataFrame:
     """Streaming exact dedup: the first-seen doc per content hash survives.
 
     The streaming counterpart of operators/dedup.dedup_exact: dedup state
-    is BOUNDED by the watermark (hash keys age out once the event-time
-    watermark passes them), so state size tracks the ingest window, not
-    the corpus — the property that makes continuous dedup viable at the
-    10^12-doc design point. Exactly-once across restarts comes from the
-    checkpointed state store like the incremental rollup.
+    is BOUNDED by the watermark (hash keys age out once the watermark
+    passes them), so state size tracks the ingest window, not the corpus —
+    the property that makes continuous dedup viable at the 10^12-doc
+    design point.
+
+    Guarantee depends on the time column. With ``event_ts`` (a TRUE
+    event-time column in the stream), duplicates are suppressed within the
+    event-time watermark window and the behavior is replay-stable across
+    restarts. Without one, the fallback is processing-time
+    ``current_timestamp()``: duplicates REPLAYED after a restart, or
+    arriving later than the wall-clock watermark gap, pass through — i.e.
+    at-most-once duplicate suppression within the processing-time window,
+    NOT exactly-once across restarts. Prefer passing ``event_ts``.
     """
-    s = stream.withColumn("ingest_ts", F.current_timestamp())
+    if event_ts is not None:
+        # NTZ columns are rejected by withWatermark: cast in place
+        s = stream.withColumn("ingest_ts", F.col(event_ts).cast("timestamp"))
+    else:
+        s = stream.withColumn("ingest_ts", F.current_timestamp())
     s = s.withColumn("h", F.md5(F.col(text).cast("binary")))
     return s.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(["h"])
 

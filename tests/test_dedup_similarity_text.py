@@ -222,6 +222,97 @@ def test_audio_loader_resamples_at_load(spark):
     assert (out.n_samples == -(-n_orig * 8000 // 16000)).all()
 
 
+def test_stdlib_wav_decode_roundtrip():
+    """encode_wav -> decode_wav recovers the signal to PCM16 quantization
+    (|err| <= 1/32767), for mono and with stereo mono-mixing; PCM8/24/32
+    widths parse and scale to [-1, 1]."""
+    import io
+    import wave as _wave
+
+    from crossai_ts_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(3)
+    sig = (0.8 * np.sin(2 * np.pi * 440 * np.arange(400) / 16000)).astype(np.float32)
+    back = decode_wav(encode_wav(sig, 16000))
+    assert back.dtype == np.float32 and back.shape == sig.shape
+    assert np.abs(back - sig).max() <= 0.501 / 32768  # half-lsb quantization
+
+    # stereo PCM16 mono-mix: L and R average
+    left = rng.integers(-30000, 30000, 100).astype("<i2")
+    right = rng.integers(-30000, 30000, 100).astype("<i2")
+    inter = np.empty(200, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(inter.tobytes())
+    mixed = decode_wav(buf.getvalue())
+    expect = (left.astype(np.float32) + right.astype(np.float32)) / 2 / 32768.0
+    assert np.abs(mixed - expect).max() < 1e-6
+
+    # width sweep: PCM8 (unsigned), PCM24, PCM32 all land in [-1, 1]
+    for width, payload in [
+        (1, np.array([0, 128, 255], dtype=np.uint8).tobytes()),
+        (3, b"\x00\x00\x80" + b"\xff\xff\x7f"),  # min24, max24
+        (4, np.array([-(2**31), 2**31 - 1], dtype="<i4").tobytes()),
+    ]:
+        buf = io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(width)
+            w.setframerate(8000)
+            w.writeframes(payload)
+        x = decode_wav(buf.getvalue())
+        assert x.min() >= -1.0 and x.max() <= 1.0
+        assert x.min() < -0.99 and x.max() > 0.98  # extremes reach the rails
+
+
+def test_wav_media_decodes_real_through_spark(spark):
+    """synth_wav_media payloads are genuine RIFF/WAVE; auto_decoder takes
+    the stdlib real path (not the digest fake) inside the Spark kernel, and
+    pooled embeddings reflect the actual sinusoid content."""
+    from crossai_ts_spark.operators.multimodal import (
+        auto_decoder,
+        decode_wav,
+        extract_features,
+        fake_decoder,
+        load_audio_resampled,
+        pool_features,
+        synth_wav_media,
+    )
+
+    media = synth_wav_media(spark, n=6, seed=9, sr=16000, n_samples=800)
+    rows = media.toPandas()
+    assert all(bytes(p)[:4] == b"RIFF" for p in rows.payload)
+
+    feats = extract_features(media).toPandas().sort_values("media_id")
+    assert all(len(e) == 64 for e in feats.embedding)
+    # expected = pool of the stdlib decode, NOT the digest fake
+    for _, r in rows.iterrows():
+        want = pool_features(decode_wav(bytes(r.payload)), 64)
+        got = np.asarray(
+            feats.set_index("media_id").loc[r.media_id, "embedding"], dtype=np.float32
+        )
+        assert np.allclose(got, want, atol=1e-6)
+        fake = pool_features(fake_decoder(bytes(r.payload), "audio"), 64)
+        assert not np.allclose(got, fake)
+
+    # load-time resample consumes the real 800-sample waveform: 16k -> 8k
+    out = load_audio_resampled(media, target_sr=8000).toPandas()
+    assert (out.n_samples == 400).all()
+    assert (out.peak < 1.0).all() and (out.peak > 0.3).all()
+
+    # pooling contract: shorter-than-dim pads, longer pools, exact passes
+    assert pool_features(np.ones(10), 64).shape == (64,)
+    assert pool_features(np.arange(640.0), 64).shape == (64,)
+    assert np.allclose(
+        pool_features(np.arange(640.0), 64),
+        np.arange(640.0).reshape(64, 10).mean(axis=1),
+    )
+
+
 def test_multiprobe_lsh_improves_recall(spark):
     from crossai_ts_spark.operators.similarity import cosine_topk, lsh_topk
 

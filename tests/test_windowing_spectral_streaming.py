@@ -324,6 +324,34 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     )
 
 
+def test_streaming_dedup_event_time_watermark(spark, tmp_path):
+    """With a true event-time column, the dedup watermark advances on event
+    time: a duplicate INSIDE the watermark window is dropped even though it
+    arrives in a later micro-batch, independent of wall-clock timing."""
+    from crossai_ts_spark.streaming.rollup_stream import run_to_memory, streaming_dedup
+
+    in_dir = tmp_path / "docs_ev"
+    schema = "doc_id long, text string, ev timestamp_ntz"
+    b0 = [(1, "alpha beta", "2024-01-01 00:00:00"), (2, "gamma delta", "2024-01-01 00:00:05")]
+    b1 = [(3, "alpha beta", "2024-01-01 00:00:20"),  # dup within 1-min watermark
+          (4, "epsilon zeta", "2024-01-01 00:00:30")]
+    mk = lambda rows: spark.createDataFrame(
+        [(d, t, pd.Timestamp(e).to_pydatetime()) for d, t, e in rows], schema
+    )
+    mk(b0).coalesce(1).write.parquet(str(in_dir / "b0"))
+    mk(b1).coalesce(1).write.parquet(str(in_dir / "b1"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*")
+    )
+    run_to_memory(streaming_dedup(stream, event_ts="ev"), "dedup_ev_stream")
+    got = spark.sql("SELECT * FROM dedup_ev_stream").toPandas()
+    assert len(got) == 3
+    assert set(got.doc_id) == {1, 2, 4}
+
+
 def test_streaming_sessions_match_batch_closed_sessions(spark, tmp_path):
     """Streamed native session windows (append mode) emit exactly the
     sessions the final watermark has closed, identical to the batch

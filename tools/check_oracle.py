@@ -75,6 +75,9 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.monotonic()
+        from crossai_ts_spark.caching import release_tracked
+
+        release_tracked()  # previous query's operator-tracked caches
         try:
             got = normalize(fn(spark, sf_dir).toPandas())
         except Exception:
