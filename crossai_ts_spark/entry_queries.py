@@ -2535,14 +2535,254 @@ def event_classification(spark, sf_dir):
     )
 
 
-@q("ep3_pipeline", None)
+def _ep3_sosfilt_fold(sos, zi, src: str) -> str:
+    """DuckDB fold: 2-section DF2T biquad cascade over list `src`, initial
+    state zi * src[1] (sosfiltfilt edge-scaled zi), accumulator = 4 states
+    ++ outputs so far. Result slice [6:] is the filtered list (the 5th slot
+    pads the init so slicing is uniform... no — states occupy 1..4; outputs
+    start at 5). Callers slice [5:]."""
+
+    def lit(v: float) -> str:
+        return f"'{float(v)!r}'::DOUBLE"
+
+    (b0, b1, b2, _, a1, a2), (c0, c1, c2, _, d1, d2) = sos
+    (z00, z01), (z10, z11) = zi
+    e0 = f"({src})[1]"
+    init = ", ".join(f"{lit(z)} * {e0}" for z in (z00, z01, z10, z11))
+    Y0 = f"({lit(b0)} * e[1] + acc[1])"
+    Y1 = f"({lit(c0)} * {Y0} + acc[3])"
+    return (
+        f"(list_reduce(list_prepend([{init}], "
+        f"list_transform({src}, v -> [v::DOUBLE])), "
+        f"(acc, e) -> [{lit(b1)} * e[1] - {lit(a1)} * {Y0} + acc[2], "
+        f"{lit(b2)} * e[1] - {lit(a2)} * {Y0}, "
+        f"{lit(c1)} * {Y0} - {lit(d1)} * {Y1} + acc[4], "
+        f"{lit(c2)} * {Y0} - {lit(d2)} * {Y1}] "
+        f"|| acc[5:] || [{Y1}]))[5:]"
+    )
+
+
+def _ep3_oracle_sql() -> str:
+    """DuckDB mirror of plans/ep3.ep3_pipeline, stage for stage with the
+    kernels' exact operation order: per-user 16-knot not-a-knot spline
+    (constant h=64 -> the Thomas cp/den factors are data-independent
+    doubles computed HERE by the same numpy recurrence and embedded as
+    literals; only the b/bp/m chain stays data-dependent in SQL), Hermite
+    evaluation on the 0..1023 sample grid, zero-phase order-4 Butterworth
+    (odd-reflection padlen=15, zi-scaled forward+backward biquad folds),
+    threshold >= 0.3, duration->=32 islands, IoU-vs-GT classification and
+    the three global ratios."""
+    import numpy as np
+
+    from .functions.iir import butter_sos, sosfilt_zi
+    from .plans.ep3 import DUR_MIN, GT_ERR_FRAC, IOU_TH, PROB_TH, STEP
+
+    n = 16
+    sos = butter_sos(4, 0.02, 1.0, "lowpass")
+    assert sos.shape[0] == 2
+    zi = sosfilt_zi(sos)
+
+    def lit(v: float) -> str:
+        return f"'{float(v)!r}'::DOUBLE"
+
+    # spline system constants, replicating functions/spline.spline_slopes
+    # with h_i = 64.0 (numpy ops on plain doubles -> identical IEEE values)
+    h = np.diff(np.arange(n, dtype=np.float64) * STEP + STEP // 2)  # all 64.0
+    lo = np.empty(n)
+    di = np.empty(n)
+    up = np.empty(n)
+    di[0] = h[1]
+    up[0] = h[0] + h[1]
+    for i in range(1, n - 1):
+        lo[i] = h[i]
+        di[i] = 2.0 * (h[i - 1] + h[i])
+        up[i] = h[i - 1]
+    lo[-1] = h[-1] + h[-2]
+    di[-1] = h[-2]
+    cp = np.empty(n)
+    den = np.empty(n)
+    cp[0] = up[0] / di[0]
+    den[0] = di[0]
+    for k in range(1, n):
+        den[k] = di[k] - lo[k] * cp[k - 1]
+        cp[k] = (up[k] / den[k]) if k < n - 1 else 0.0
+    # b-row constant factors (left-assoc fold of the numpy expressions)
+    A1 = (h[0] + 2.0 * (h[0] + h[1])) * h[1]
+    B1 = h[0] ** 2
+    C1 = h[0] + h[1]
+    Bn = h[-1] ** 2
+    An = (2.0 * (h[-1] + h[-2]) + h[-1]) * h[-2]
+    Cn = h[-1] + h[-2]
+
+    knot_cols = []
+    for i in range(1, n + 1):
+        knot_cols.append(
+            f"MAX(CASE WHEN rn = {i} THEN clicks END)::DOUBLE"
+            f" / MAX(CASE WHEN rn = {i} THEN total END)::DOUBLE AS y{i}"
+        )
+        knot_cols.append(
+            f"MAX(CASE WHEN rn = {i} THEN errors END)::DOUBLE"
+            f" / MAX(CASE WHEN rn = {i} THEN total END)::DOUBLE AS f{i}"
+        )
+    sl = [f"(y{i + 1} - y{i}) / {lit(h[i - 1])} AS d{i}" for i in range(1, n)]
+    sl.append(f"({lit(A1)} * d1 + {lit(B1)} * d2) / {lit(C1)} AS b1")
+    for r in range(2, n):
+        sl.append(f"3.0 * ({lit(h[r - 1])} * d{r - 1} + {lit(h[r - 2])} * d{r}) AS b{r}")
+    sl.append(f"({lit(Bn)} * d{n - 2} + {lit(An)} * d{n - 1}) / {lit(Cn)} AS b{n}")
+    sl.append(f"b1 / {lit(di[0])} AS bp1")
+    for k in range(2, n + 1):
+        sl.append(f"(b{k} - {lit(lo[k - 1])} * bp{k - 1}) / {lit(den[k - 1])} AS bp{k}")
+    sl.append(f"bp{n} AS m{n}")
+    for k in range(n - 1, 0, -1):
+        sl.append(f"bp{k} - {lit(cp[k - 1])} * m{k + 1} AS m{k}")
+
+    # knot x-positions: xk_i = (i-1)*STEP + STEP//2, exactly-representable
+    xk = [float(i * STEP + STEP // 2) for i in range(n)]
+    iv = (
+        "CASE "
+        + " ".join(f"WHEN td < {lit(xk[j])} THEN {j}" for j in range(1, n - 1))
+        + f" ELSE {n - 1} END"
+    )
+
+    def pick(pfx: str, off: int = 0) -> str:
+        return (
+            "CASE iv "
+            + " ".join(f"WHEN {j} THEN {pfx}{j + off}" for j in range(1, n))
+            + " END"
+        )
+
+    xi = "CASE iv " + " ".join(f"WHEN {j} THEN {lit(xk[j - 1])}" for j in range(1, n)) + " END"
+    hl = lit(64.0)
+    n_samp = n * STEP  # 1024
+    padlen = 15
+    ext_len = n_samp + 2 * padlen
+
+    fwd = _ep3_sosfilt_fold(sos, zi, "xs")
+    bwd = _ep3_sosfilt_fold(sos, zi, "list_reverse(ys)")
+
+    return (
+        SQL_EV
+        + f"""
+, mb AS (
+  SELECT user_id, minute,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS clicks,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS errors,
+         COUNT(*)::BIGINT AS total
+  FROM ev GROUP BY user_id, minute
+), rk AS (
+  SELECT user_id, clicks, errors, total,
+         row_number() OVER (PARTITION BY user_id ORDER BY minute) AS rn
+  FROM mb
+), k AS (
+  SELECT user_id, {", ".join(knot_cols)}
+  FROM rk WHERE rn <= {n} GROUP BY user_id
+  HAVING COUNT(*) = {n}
+), sp AS (
+  SELECT *, {", ".join(sl)} FROM k
+), pts AS (
+  SELECT user_id, t, td, iv,
+         (td - ({xi})) / ({hl}) AS s,
+         {pick("y")} AS yi, {pick("y", 1)} AS yi1,
+         {pick("m")} AS mi, {pick("m", 1)} AS mi1
+  FROM (
+    SELECT sp.*, t, t::DOUBLE AS td, {iv} AS iv
+    FROM sp, unnest(range(0, {n_samp})) AS tt(t)
+  )
+), hv AS (
+  SELECT user_id, t,
+         (2.0 * (s * s * s) - 3.0 * (s * s) + 1.0) * yi
+         + ((s * s * s) - 2.0 * (s * s) + s) * (mi * {hl})
+         + (-2.0 * (s * s * s) + 3.0 * (s * s)) * yi1
+         + ((s * s * s) - (s * s)) * (mi1 * {hl}) AS v
+  FROM pts
+), arr AS (
+  SELECT user_id, list(v ORDER BY t) AS interp FROM hv GROUP BY user_id
+), ext AS (
+  SELECT user_id,
+         list_transform(range(0, {padlen}), i -> 2.0 * interp[1] - interp[{padlen + 1} - i])
+         || interp
+         || list_transform(range(0, {padlen}),
+                           i -> 2.0 * interp[{n_samp}] - interp[{n_samp - 1} - i]) AS xs
+  FROM arr
+), fw AS (
+  SELECT user_id, {fwd} AS ys FROM ext
+), sm AS (
+  SELECT user_id, (list_reverse({bwd}))[{padlen + 1}:{ext_len - padlen}] AS smooth FROM fw
+), thr AS (
+  SELECT user_id, i, CASE WHEN smooth[i + 1] >= {lit(PROB_TH)} THEN 1 ELSE 0 END AS onv
+  FROM sm, unnest(range(0, {n_samp})) AS tt(i)
+), sbrk AS (
+  SELECT user_id, i, onv,
+         CASE WHEN lag(onv) OVER w IS NULL OR onv != lag(onv) OVER w THEN 1 ELSE 0 END AS b
+  FROM thr WINDOW w AS (PARTITION BY user_id ORDER BY i)
+), sseg AS (
+  SELECT user_id, i, onv,
+         SUM(b) OVER (PARTITION BY user_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM sbrk
+), pred AS (
+  SELECT user_id, MIN(i) AS ps, MAX(i) + 1 AS pe
+  FROM sseg WHERE onv = 1 GROUP BY user_id, g HAVING COUNT(*) >= {DUR_MIN}
+), gw AS (
+  SELECT user_id, rn - 1 AS wi,
+         CASE WHEN errors::DOUBLE / total::DOUBLE >= {lit(GT_ERR_FRAC)} THEN 1 ELSE 0 END AS gon
+  FROM rk WHERE rn <= {n}
+    AND user_id IN (SELECT user_id FROM k)
+), gbrk AS (
+  SELECT user_id, wi, gon,
+         CASE WHEN lag(gon) OVER w IS NULL OR gon != lag(gon) OVER w THEN 1 ELSE 0 END AS b
+  FROM gw WINDOW w AS (PARTITION BY user_id ORDER BY wi)
+), gseg AS (
+  SELECT user_id, wi, gon,
+         SUM(b) OVER (PARTITION BY user_id ORDER BY wi
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM gbrk
+), gt AS (
+  SELECT user_id, MIN(wi) * {STEP} AS gs, (MAX(wi) + 1) * {STEP} AS ge
+  FROM gseg WHERE gon = 1 GROUP BY user_id, g
+), cls AS (
+  SELECT p.user_id, p.ps, p.pe,
+         MAX(CASE WHEN g.gs IS NULL THEN 0.0::DOUBLE ELSE
+             (CASE WHEN LEAST(p.pe, g.ge) - GREATEST(p.ps, g.gs) > 0
+                   THEN LEAST(p.pe, g.ge) - GREATEST(p.ps, g.gs) ELSE 0 END)::DOUBLE
+             / ((p.pe - p.ps) + (g.ge - g.gs)
+                - (CASE WHEN LEAST(p.pe, g.ge) - GREATEST(p.ps, g.gs) > 0
+                        THEN LEAST(p.pe, g.ge) - GREATEST(p.ps, g.gs) ELSE 0 END))::DOUBLE
+             END) AS best
+  FROM pred p LEFT JOIN gt g ON p.user_id = g.user_id
+  GROUP BY p.user_id, p.ps, p.pe
+), cnt AS (
+  SELECT COALESCE(SUM(CASE WHEN best >= {lit(IOU_TH)} THEN 1 ELSE 0 END), 0)::BIGINT AS corrects,
+         COALESCE(SUM(CASE WHEN best > 0.0 AND best < {lit(IOU_TH)} THEN 1 ELSE 0 END), 0)::BIGINT AS deletions,
+         0::BIGINT AS substitutions,
+         COALESCE(SUM(CASE WHEN best = 0.0 THEN 1 ELSE 0 END), 0)::BIGINT AS insertions
+  FROM cls
+)
+SELECT corrects, deletions, substitutions, insertions,
+       CASE WHEN deletions + corrects + substitutions > 0
+            THEN corrects::DOUBLE / (deletions + corrects + substitutions)::DOUBLE
+            ELSE 0.0::DOUBLE END AS detection_ratio,
+       CASE WHEN corrects + insertions > 0
+            THEN corrects::DOUBLE / (corrects + insertions)::DOUBLE
+            ELSE 0.0::DOUBLE END AS reliability,
+       CASE WHEN deletions + corrects + substitutions > 0
+            THEN (deletions + insertions + substitutions)::DOUBLE
+                 / (deletions + corrects + substitutions)::DOUBLE
+            ELSE 0.0::DOUBLE END AS erer
+FROM cnt
+"""
+    )
+
+
+@q("ep3_pipeline", _ep3_oracle_sql())
 def ep3_pipeline_q(spark, sf_dir):
     """EP3 robustness pipeline end-to-end (caits/performance/evaluation.py:
     36-222): spline upsample -> Butterworth smooth -> threshold -> islands
     -> duration -> IoU classify -> DR/reliability/erer, ONE lazy plan.
-    Spline+IIR kernels are not SQL-expressible: rows-only here; each stage
-    is oracle-checked separately (cubic_spline_interp, butterworth_sosfilt,
-    islands*, event_classification) and the chain by pytest."""
+    FULL oracle: DuckDB composes the proven per-stage folds (unrolled
+    16-knot Thomas solve with constant-h factors, Hermite grid eval,
+    zi-scaled forward+backward biquad folds with odd-reflection padding,
+    islands, IoU max) reproducing every smoothed double bitwise."""
     from .plans.ep3 import ep3_pipeline
 
     return ep3_pipeline(_ev(spark, sf_dir))
@@ -3624,16 +3864,115 @@ def kendall_tau(spark, sf_dir):
     return s.filter(F.col("n0") - F.col("ty") > 0).select("user_id", "nc", "nd", tau.alias("tau_b"))
 
 
-@q("eepd_counts", None)
+def _eepd_sos():
+    from .functions.iir import butter_sos
+
+    bps = [butter_sos(1, (float(f), float(f + 2)), 32.0, "bandpass") for f in (2, 4, 6, 8)]
+    lp = butter_sos(2, 10.0, 32.0, "lowpass")
+    return bps, lp
+
+
+def _eepd_env_fold(bp, lp) -> str:
+    """DuckDB fold: demeaned sample list -> per-sample chained biquads
+    (bandpass -> square -> lowpass), accumulator = 4 filter states ++ the
+    envelope emitted so far (LIST accumulator per the DuckDB struct-
+    mutation workaround; appending keeps it ONE O(n) fold per band, not a
+    prefix-fold per element). Result slice [5:] is the envelope list."""
+
+    def lit(v: float) -> str:
+        return f"'{float(v)!r}'::DOUBLE"
+
+    b0, b1, b2, _, a1, a2 = bp[0]
+    c0, c1, c2, _, d1, d2 = lp[0]
+    YB = f"({lit(b0)} * e[1] + acc[1])"
+    EE = f"({YB} * {YB})"
+    YL = f"({lit(c0)} * {EE} + acc[3])"
+    return (
+        "(list_reduce(list_prepend([0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE], "
+        "list_transform(xs, v -> [v])), "
+        f"(acc, e) -> [{lit(b1)} * e[1] - {lit(a1)} * {YB} + acc[2], "
+        f"{lit(b2)} * e[1] - {lit(a2)} * {YB}, "
+        f"{lit(c1)} * {EE} - {lit(d1)} * {YL} + acc[4], "
+        f"{lit(c2)} * {EE} - {lit(d2)} * {YL}] "
+        f"|| acc[5:] || [{YL}]))[5:]"
+    )
+
+
+def _eepd_sql() -> str:
+    bps, lp = _eepd_sos()
+    folds = ",\n         ".join(
+        f"{_eepd_env_fold(bp, lp)} AS env{i + 1}" for i, bp in enumerate(bps)
+    )
+    return (
+        SQL_TOKLIST
+        + f"""
+, sl AS (
+  SELECT doc_id, toks[1:192] AS t2 FROM tok WHERE n >= 128
+), mu_t AS (
+  SELECT doc_id, t2, list_aggregate(t2, 'sum')::DOUBLE / len(t2)::DOUBLE AS mu FROM sl
+), xs_t AS (
+  SELECT doc_id, list_transform(t2, t -> t::DOUBLE - mu) AS xs FROM mu_t
+), env_t AS (
+  SELECT doc_id,
+         {folds}
+  FROM xs_t
+), u AS (
+  SELECT doc_id, b.band,
+         CASE b.band WHEN 1 THEN env1 WHEN 2 THEN env2 WHEN 3 THEN env3 ELSE env4 END AS env
+  FROM env_t, unnest([1, 2, 3, 4]) AS b(band)
+), pts AS (
+  SELECT doc_id, band, i, env[i + 1] AS val
+  FROM u, unnest(range(0, len(env))) AS t(i)
+), chg AS (
+  SELECT doc_id, band, i, val,
+         CASE WHEN lag(val) OVER w IS NULL OR val != lag(val) OVER w THEN 1 ELSE 0 END AS brk
+  FROM pts WINDOW w AS (PARTITION BY doc_id, band ORDER BY i)
+), grp AS (
+  SELECT doc_id, band, i, val,
+         SUM(brk) OVER (PARTITION BY doc_id, band ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM chg
+), isl AS (
+  SELECT doc_id, band, g, MIN(val) AS val FROM grp GROUP BY doc_id, band, g
+), nb AS (
+  SELECT doc_id, band, val,
+         lag(val) OVER wi AS pv, lead(val) OVER wi AS nv
+  FROM isl WINDOW wi AS (PARTITION BY doc_id, band ORDER BY g)
+), cnt AS (
+  SELECT doc_id, band,
+         SUM(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL AND val > pv AND val > nv
+                  THEN 1 ELSE 0 END)::INTEGER AS c
+  FROM nb GROUP BY doc_id, band
+)
+SELECT doc_id,
+       MAX(CASE WHEN band = 1 THEN c END) AS eepd_b1,
+       MAX(CASE WHEN band = 2 THEN c END) AS eepd_b2,
+       MAX(CASE WHEN band = 3 THEN c END) AS eepd_b3,
+       MAX(CASE WHEN band = 4 THEN c END) AS eepd_b4
+FROM cnt GROUP BY doc_id
+"""
+    )
+
+
+@q("eepd_counts", _eepd_sql())
 def eepd_counts(spark, sf_dir):
-    """envelope_energy_peak_detection (caits/fe/_statistical.py:476-538):
-    per-band bandpass filtfilt -> squared envelope -> lowpass -> normalized
-    peak counts. IIR+peaks kernel — rows-only; numpy-verified in
-    tests/test_spectral2.py. 4 bands at fs=32 over token signals."""
+    """envelope_energy_peak_detection, causal variant with a FULL oracle
+    (caits/fe/_statistical.py:476-538): per band [fcl, fcl+2) Hz at fs=32,
+    order-1 Butterworth bandpass (forward sosfilt, zero state) -> square
+    -> order-2 lowpass at 10 Hz -> peak count (scipy default semantics,
+    plateaus once, edges excluded). The reference's zero-phase filtfilt
+    variant stays numpy-verified in tests/test_spectral2.py; this query
+    composes the proven forward-biquad fold so DuckDB reproduces every
+    envelope double bitwise. Max-normalization is dropped on BOTH sides —
+    it cannot change peak count. Demeaning uses the exact integer token
+    sum (S/n as one double division) so both engines subtract the
+    identical mean. First 192 tokens of each doc with >= 128 tokens."""
     import pandas as pd
 
-    from .functions.spectral2 import envelope_energy_peak_detection
+    from .functions.iir import sosfilt
+    from .functions.spectral2 import find_peaks_simple
 
+    bps, lp = _eepd_sos()
     seqs = tokenize_documents(load(spark, sf_dir, "documents"))
 
     def kernel(batches):
@@ -3642,13 +3981,18 @@ def eepd_counts(spark, sf_dir):
         for pdf in batches:
             rows = []
             for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
-                x = np.asarray(toks, dtype=np.float64)
-                if x.size < 128:
+                t2 = np.asarray(toks, dtype=np.int64)
+                if t2.size < 128:
                     continue
-                c = envelope_energy_peak_detection(
-                    x - x.mean(), fs=32.0, start=2, stop=10, freq_step=2, fcl_add=2
-                )
-                rows.append((doc_id, *[int(v) for v in c]))
+                t2 = t2[:192]
+                mu = int(np.sum(t2, dtype=np.int64)) / t2.size
+                x = t2.astype(np.float64) - mu
+                counts = []
+                for bp in bps:
+                    y = sosfilt(bp, x)
+                    env = sosfilt(lp, y * y)
+                    counts.append(int(find_peaks_simple(env).size))
+                rows.append((doc_id, *counts))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "eepd_b1", "eepd_b2", "eepd_b3", "eepd_b4"]
             )
