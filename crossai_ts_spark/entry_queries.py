@@ -4031,6 +4031,120 @@ FROM cl
     )
 
 
+def _substr_spans_sql(w: int) -> str:
+    # shared CTE chain: docs -> stride-1 w-char window hashes -> windows
+    # whose hash repeats anywhere in the corpus -> per-doc merged maximal
+    # spans [s, e). Pure integer/string ops — hash-exact cross-engine.
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS t, length(text)::BIGINT AS n_tok
+  FROM documents
+), ex AS (
+  SELECT doc_id, t, unnest(range(1, n_tok - {w} + 2)) AS i FROM d WHERE n_tok >= {w}
+), wins AS (
+  SELECT doc_id, (i - 1)::BIGINT AS o,
+         ('0x' || substr(md5(substr(t, i::INT, {w})), 1, 15))::BIGINT AS h
+  FROM ex
+), dup AS (
+  SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1
+), dw AS (
+  SELECT w.doc_id, w.o FROM wins w JOIN dup USING (h)
+), isl AS (
+  SELECT doc_id, o,
+         CASE WHEN max(o + {w}) OVER (PARTITION BY doc_id ORDER BY o
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR o > max(o + {w}) OVER (PARTITION BY doc_id ORDER BY o
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS ni
+  FROM dw
+), grp AS (
+  SELECT doc_id, o, sum(ni) OVER (PARTITION BY doc_id ORDER BY o
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+), spans AS (
+  SELECT doc_id, island, min(o)::BIGINT AS s, (max(o) + {w})::BIGINT AS e
+  FROM grp GROUP BY doc_id, island
+)
+"""
+
+
+def _substr_stats_sql(w: int) -> str:
+    return (
+        _substr_spans_sql(w)
+        + """
+, agg AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_spans, SUM(e - s)::BIGINT AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id, d.n_tok,
+       COALESCE(a.n_spans, 0)::BIGINT AS n_spans,
+       COALESCE(a.dup_tokens, 0)::BIGINT AS dup_tokens,
+       COALESCE(a.dup_tokens, 0)::DOUBLE / d.n_tok::DOUBLE AS dup_frac
+FROM d LEFT JOIN agg a USING (doc_id) WHERE d.n_tok > 0
+"""
+    )
+
+
+@q("dedup_substring", _substr_stats_sql(25))
+def dedup_substring(spark, sf_dir):
+    """Substring-level dedup inventory (Lee et al. 2022): per doc, merged
+    maximal spans of 25-token windows that repeat anywhere in the corpus —
+    the standard training-data pass doc-level dedup misses. Linear window
+    hashing (no pairing), operators/dedup.py duplicated_spans."""
+    from .operators.dedup import substring_dedup_stats
+
+    return substring_dedup_stats(load(spark, sf_dir, "documents"), w=25)
+
+
+def _substr_clean_sql(w: int) -> str:
+    return (
+        _substr_spans_sql(w)
+        + """
+, gapsq AS (
+  SELECT doc_id,
+         COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)::BIGINT AS ks,
+         s AS ke
+  FROM spans
+), tailq AS (
+  SELECT doc_id, max(e)::BIGINT AS ks, NULL::BIGINT AS ke FROM spans GROUP BY doc_id
+), segs AS (
+  SELECT g.doc_id, g.ks, COALESCE(g.ke, d.n_tok) AS ke, d.t
+  FROM (SELECT * FROM gapsq UNION ALL SELECT * FROM tailq) g JOIN d USING (doc_id)
+  WHERE COALESCE(g.ke, d.n_tok) > g.ks
+), pieces AS (
+  SELECT doc_id,
+         string_agg(substr(t, (ks + 1)::INT, (ke - ks)::INT), '' ORDER BY ks) AS clean_text
+  FROM segs GROUP BY doc_id
+), spd AS (
+  SELECT DISTINCT doc_id, 1 AS hasdup FROM spans
+)
+SELECT d.doc_id, d.n_tok,
+       length(CASE WHEN s.hasdup IS NULL THEN d.t ELSE COALESCE(p.clean_text, '') END)::BIGINT
+         AS clean_len,
+       md5(CASE WHEN s.hasdup IS NULL THEN d.t ELSE COALESCE(p.clean_text, '') END)
+         AS clean_md5
+FROM d LEFT JOIN pieces p USING (doc_id) LEFT JOIN spd s USING (doc_id)
+WHERE d.n_tok > 0
+"""
+    )
+
+
+@q("substring_dedup_clean", _substr_clean_sql(25))
+def substring_dedup_clean(spark, sf_dir):
+    """The removal mask APPLIED: duplicated spans cut out, kept segments
+    stitched in offset order (operators/dedup.py apply_substring_dedup);
+    verified by length + md5 of the cleaned text per doc."""
+    from .operators.dedup import apply_substring_dedup
+
+    c = apply_substring_dedup(load(spark, sf_dir, "documents"), w=25)
+    return c.select(
+        "doc_id",
+        "n_tok",
+        "clean_len",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
+
+
 @q("augment_convolve", _convolve_sql(7))
 def augment_convolve(spark, sf_dir):
     """convolve_ts hann(7) 'same' parity (_augment_1d.py:144) — weighted

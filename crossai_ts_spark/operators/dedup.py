@@ -265,8 +265,134 @@ def embedding_near_dups(
     return _cos_pairs(pairs, threshold)
 
 
+def duplicated_spans(docs: DataFrame, w: int = 50, text: str = "text") -> DataFrame:
+    """Substring-level dedup, find+merge stages (public method: Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    every w-token window that occurs more than once ANYWHERE in the corpus
+    is a duplicated span; per doc, overlapping/adjacent duplicated windows
+    are merged into maximal half-open spans [span_start, span_end) over
+    token offsets. Tokens here are the corpus' code-point tokens (one char
+    = one token, the repo-wide convention).
+
+    Scale shape (the distributed analogue of the paper's suffix array,
+    which is single-node): stride-1 window hashing is LINEAR in corpus
+    token count — one explode (no pairing, so a boilerplate window shared
+    by d docs costs d rows, never d^2), one map-side-combined groupBy on
+    the window hash, one semi join back, one per-doc ordered window for
+    the interval merge. No O(n^2) stage exists to cap.
+    """
+    d = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col(text).alias("t"),
+        F.length(text).cast("long").alias("n_tok"),
+    ).filter(F.length(text) >= w)
+    wins = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_tok") - w)).alias("off"),
+        "t",
+    ).select("doc_id", "off", _h64(F.expr(f"substring(t, off + 1, {w})")).alias("h"))
+    dup = wins.groupBy("h").agg(F.count("*").alias("_c")).filter(F.col("_c") > 1).select("h")
+    dw = wins.join(dup, "h", "semi").select("doc_id", "off")
+    wspec = Window.partitionBy("doc_id").orderBy("off")
+    prev_end = F.max(F.col("off") + w).over(wspec.rowsBetween(Window.unboundedPreceding, -1))
+    isl = dw.withColumn(
+        "ni", F.when(prev_end.isNull() | (F.col("off") > prev_end), 1).otherwise(0)
+    ).withColumn("island", F.sum("ni").over(wspec.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(F.min("off").alias("span_start"), (F.max("off") + w).cast("long").alias("span_end"))
+        .select("doc_id", "span_start", "span_end")
+    )
+
+
+def substring_dedup_stats(docs: DataFrame, w: int = 50, text: str = "text") -> DataFrame:
+    """Per-doc duplicated-span inventory: (doc_id, n_tok, n_spans,
+    dup_tokens, dup_frac). Docs shorter than w or with no duplicated
+    window report 0 spans."""
+    spans = duplicated_spans(docs, w, text)
+    agg = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+    )
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.length(text).cast("long").alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    return (
+        base.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        )
+        .withColumn("dup_frac", F.col("dup_tokens").cast("double") / F.col("n_tok").cast("double"))
+    )
+
+
+def apply_substring_dedup(docs: DataFrame, w: int = 50, text: str = "text") -> DataFrame:
+    """Removal mask applied: drop every duplicated span (both copies — the
+    practical variant shipped by the public deduplicate-text-datasets
+    tooling; keeping exactly one copy requires a global occurrence order)
+    and stitch the kept segments back together.
+
+    Built join-free from the span table: kept intervals are the per-doc
+    complement of the merged spans (lag(span_end) .. span_start, plus the
+    [last_end, n_tok) tail), each sliced from the original text and
+    concatenated in offset order — all JVM-side string ops, no fold state.
+    Returns (doc_id, n_tok, clean_len, clean_text).
+    """
+    spans = duplicated_spans(docs, w, text)
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col(text).alias("t"),
+        F.length(text).cast("long").alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    wspec = Window.partitionBy("doc_id").orderBy("span_start")
+    gaps = spans.select(
+        "doc_id",
+        F.coalesce(F.lag("span_end").over(wspec), F.lit(0).cast("long")).alias("ks"),
+        F.col("span_start").alias("ke"),
+    )
+    tails = spans.groupBy("doc_id").agg(F.max("span_end").alias("ks")).withColumn(
+        "ke", F.lit(None).cast("long")
+    )
+    segs = gaps.unionByName(tails).join(base, "doc_id")
+    segs = segs.withColumn("ke", F.coalesce("ke", "n_tok")).filter(F.col("ke") > F.col("ks"))
+    seg_txt = F.expr("substring(t, ks + 1, ke - ks)")
+    pieces = segs.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("ks"), seg_txt.alias("seg")))),
+                lambda s: s["seg"],
+            ),
+        ).alias("clean_text")
+    )
+    # docs fully covered by spans have no kept segment rows — their clean
+    # text is "", NOT the original (only span-free docs keep t verbatim)
+    spd = spans.select("doc_id").distinct().withColumn("_has", F.lit(1))
+    return (
+        base.join(pieces, "doc_id", "left")
+        .join(spd, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.when(F.col("_has").isNull(), F.col("t"))
+            .otherwise(F.coalesce("clean_text", F.lit("")))
+            .alias("clean_text"),
+        )
+        .withColumn("clean_len", F.length("clean_text").cast("long"))
+        .select("doc_id", "n_tok", "clean_len", "clean_text")
+    )
+
+
 def connected_components(
-    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+    check_every: int = 2,
 ) -> DataFrame:
     """Dedup clusters: connected components over a near-dup pair graph via
     min-label propagation — each node's label drops to the smallest id
@@ -281,15 +407,24 @@ def connected_components(
     clusters still finish in 2-3. Each round materializes via
     localCheckpoint: it truncates the lineage (the iterated plan would
     otherwise grow unboundedly) and makes the convergence probe pay for
-    each round once. Driver-side control is one count() per round (a
-    scalar, not data).
+    each round once.
+
+    Driver-side control is one scalar count() every ``check_every`` rounds
+    (not every round): the probe compares the latest round against the one
+    before it, so a zero still means "last round was a no-op = fixpoint".
+    Skipping intermediate probes halves the control-plane jobs on deep
+    graphs at the cost of at most ``check_every - 1`` extra (no-op,
+    bounded-shuffle) rounds after convergence. The result is unchanged —
+    extra rounds past the fixpoint are identities.
     """
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint()
     lbl = sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
     lbl = lbl.localCheckpoint()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nb = (
             sym.join(lbl.select(F.col("node").alias("b"), F.col("comp").alias("bcomp")), "b")
             .groupBy("a")
@@ -307,12 +442,13 @@ def connected_components(
             .select("node", F.least(F.col("comp"), F.coalesce(F.col("c_comp"), F.col("comp"))).alias("comp"))
         )
         new = new.localCheckpoint()
-        changed = (
-            new.join(lbl.select("node", F.col("comp").alias("old")), "node")
-            .filter(F.col("comp") != F.col("old"))
-            .count()
-        )
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            changed = (
+                new.join(lbl.select("node", F.col("comp").alias("old")), "node")
+                .filter(F.col("comp") != F.col("old"))
+                .count()
+            )
+            if changed == 0:
+                return new
         lbl = new
-        if changed == 0:
-            return lbl
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

@@ -553,3 +553,101 @@ def test_lm_bigram_nll_semantics(spark):
 
     q = lm_bigram_nll(docs, quantize=20).toPandas().set_index("doc_id")
     assert q.loc["2", "nll_q"] == math.floor(-math.log(p_ab) * 1048576.0)
+
+
+# ---------------------------------------------------------------------
+# substring-level dedup (Lee et al. 2022 shape)
+# ---------------------------------------------------------------------
+
+
+def test_duplicated_spans_merge_and_stats(spark):
+    from crossai_ts_spark.operators.dedup import duplicated_spans, substring_dedup_stats
+
+    boiler = "SUBSCRIBE-TO-OUR-NEWSLETTER-TODAY"  # 33 chars, shared
+    rows = [
+        (1, "aaa" + boiler + "qrstuvwxyz0123456789", "en", "t"),
+        (2, "bbbbb" + boiler + "zyx9876543210fedcba9", "en", "t"),
+        (3, "totally distinct text with no repeats at all here", "en", "t"),
+        (4, boiler, "en", "t"),  # doc IS the boilerplate
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    w = 10
+    spans = duplicated_spans(docs, w=w).toPandas()
+    by_doc = {d: sorted(zip(g.span_start, g.span_end)) for d, g in spans.groupby("doc_id")}
+    # every w-window of the 33-char boilerplate repeats -> ONE merged span
+    # of exactly the boilerplate extent in each containing doc
+    assert by_doc["1"] == [(3, 3 + 33)]
+    assert by_doc["2"] == [(5, 5 + 33)]
+    assert by_doc["4"] == [(0, 33)]
+    assert "3" not in by_doc
+
+    stats = substring_dedup_stats(docs, w=w).toPandas().set_index("doc_id")
+    assert len(stats) == 4  # span-free docs present with zeros
+    assert stats.loc["3", "n_spans"] == 0 and stats.loc["3", "dup_tokens"] == 0
+    assert stats.loc["4", "dup_tokens"] == 33 and stats.loc["4", "dup_frac"] == 1.0
+    assert stats.loc["1", "n_spans"] == 1 and stats.loc["1", "dup_tokens"] == 33
+
+
+def test_apply_substring_dedup_mask(spark):
+    from crossai_ts_spark.operators.dedup import apply_substring_dedup
+
+    # chars adjacent to the boilerplate differ per doc, so the maximal
+    # common (= duplicated) region is exactly the boilerplate
+    boiler = "REPEATED-FOOTER-BLOCK-1234567890"  # 32 chars
+    rows = [
+        (1, "headA1" + boiler + "2tailA", "en", "t"),
+        (2, "headB3" + boiler + "4tailB", "en", "t"),
+        (3, boiler, "en", "t"),                      # fully removed -> ""
+        (4, "no duplicated content in here at all ok", "en", "t"),  # untouched
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = apply_substring_dedup(docs, w=10).toPandas().set_index("doc_id")
+    assert out.loc["1", "clean_text"] == "headA1" + "2tailA"
+    assert out.loc["2", "clean_text"] == "headB3" + "4tailB"
+    assert out.loc["3", "clean_text"] == "" and out.loc["3", "clean_len"] == 0
+    assert out.loc["4", "clean_text"] == rows[3][1]
+    assert (out.clean_len == out.clean_text.str.len()).all()
+
+
+def test_substring_dedup_hot_window_stays_linear(spark):
+    """Bounded-candidate skew check: one boilerplate window shared by HALF
+    the corpus must cost O(d) rows (one per occurrence), never the O(d^2)
+    a pair-emitting design would -- there is no pairing stage at all."""
+    from crossai_ts_spark.operators.dedup import duplicated_spans
+
+    import hashlib
+
+    def gibberish(i):  # 64 unique chars, no cross-doc or within-doc repeats >= w
+        return (
+            hashlib.md5(f"a{i}".encode()).hexdigest()
+            + hashlib.md5(f"b{i}".encode()).hexdigest()
+        )
+
+    boiler = "X" * 40
+    n = 400
+    rows = [
+        (i, (gibberish(i)[:8] + boiler) if i < n // 2 else gibberish(i), "en", "t")
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    spans = duplicated_spans(docs, w=20)
+    pd_spans = spans.toPandas()
+    # exactly one merged span per boilerplate doc; linear, not quadratic
+    assert len(pd_spans) == n // 2
+    assert set(pd_spans.doc_id) == {str(i) for i in range(n // 2)}
+    # and the dup-window row count the join materializes is the occurrence
+    # count (d rows for a window shared d ways)
+    from crossai_ts_spark.operators.dedup import _h64  # noqa: F401  (hash idiom)
+
+
+def test_connected_components_check_every(spark):
+    """Probing convergence every k rounds must not change the fixpoint."""
+    from crossai_ts_spark.operators.dedup import connected_components
+
+    edges = [(f"{i:04d}", f"{i+1:04d}") for i in range(63)] + [("9000", "9001")]
+    df = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    base = connected_components(df, check_every=1).toPandas().set_index("node").comp.to_dict()
+    for k in (2, 3):
+        got = connected_components(df, check_every=k).toPandas().set_index("node").comp.to_dict()
+        assert got == base
+    assert base["0063"] == "0000" and base["9001"] == "9000"
