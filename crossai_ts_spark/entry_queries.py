@@ -3543,6 +3543,57 @@ def asof_join_events(spark, sf_dir):
     )
 
 
+@q(
+    "asof_bucketed_events",
+    """
+WITH r0 AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id ASC) AS rn
+  FROM events WHERE event_type = 'view'
+), r AS (
+  SELECT user_id, ts, event_id, value FROM r0 WHERE rn = 1
+), l AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+)
+SELECT l.user_id, l.event_id AS l_event_id, epoch_us(l.ts) AS l_ts_us,
+       r.event_id AS r_event_id, epoch_us(r.ts) AS r_ts_us, r.value AS r_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+""",
+)
+def asof_bucketed_events(spark, sf_dir):
+    """Time-bucketed two-phase as-of join (operators/asof.py
+    asof_join_bucketed, the hot-key refinement), FORWARD direction: every
+    click matched to the same user's next view at or after it. The ordered
+    window runs per (user, 6h-bucket) with a boundary carry, so no single
+    user's timeline ever sorts in one task; oracle is DuckDB's native
+    forward ASOF LEFT JOIN (l.ts <= r.ts). Right side deduped to one row
+    per (user, ts) — min event_id — so the nearest-tie is deterministic."""
+    from .operators.asof import asof_join_bucketed
+
+    ev = load(spark, sf_dir, "events")
+    wdedup = Window.partitionBy("user_id", "ts").orderBy(F.asc("event_id"))
+    r = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(wdedup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    left = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    j = asof_join_bucketed(
+        left, r, on="ts", by=["user_id"], direction="forward", bucket_us=6 * 3_600_000_000
+    )
+    epoch = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+    return j.select(
+        "user_id",
+        F.col("event_id").alias("l_event_id"),
+        F.expr(epoch.format(c="ts")).alias("l_ts_us"),
+        F.col("r_event_id"),
+        F.expr(epoch.format(c="r_ts")).alias("r_ts_us"),
+        F.col("r_value"),
+    )
+
+
 def _fir_exact_taps() -> list[float]:
     # the resample_poly(up=2, down=3) prototype: 145-tap windowed sinc,
     # cutoff 1/3 of the upsampled Nyquist, gain 2
