@@ -4053,6 +4053,88 @@ def eepd_counts(spark, sf_dir):
     )
 
 
+SQL_MULTICHANNEL = (
+    SQL_TOKLIST
+    + """
+, two AS (
+  SELECT doc_id, n,
+         list_transform(toks, t -> t::DOUBLE) AS ch0,
+         list_transform(toks, t -> (t - 100)::DOUBLE) AS ch1
+  FROM tok
+), mc AS (
+  SELECT doc_id, n, ch0, ch1,
+         list_transform(range(1, n + 1), i -> sqrt(ch0[i] * ch0[i] + ch1[i] * ch1[i])) AS mag,
+         list_transform(range(1, n + 1), i -> abs(ch0[i]) + abs(ch1[i])) AS sma,
+         floor(n::DOUBLE / 100.0::DOUBLE * 64.0::DOUBLE)::INT AS n_rs
+  FROM two
+), ps AS (
+  SELECT *, list_transform(range(0, n_rs), j ->
+      CASE WHEN n_rs > 1 AND n > 1
+           THEN j::DOUBLE * (n - 1)::DOUBLE / (n_rs - 1)::DOUBLE
+           ELSE 0.0::DOUBLE END) AS pos
+  FROM mc
+), rs AS (
+  SELECT doc_id, mag, sma, n_rs,
+    list_transform(pos, p -> ch0[floor(p)::INT + 1] + (p - floor(p)) *
+      (ch0[least(floor(p)::INT + 2, n)] - ch0[floor(p)::INT + 1])) AS rs0,
+    list_transform(pos, p -> ch1[floor(p)::INT + 1] + (p - floor(p)) *
+      (ch1[least(floor(p)::INT + 2, n)] - ch1[floor(p)::INT + 1])) AS rs1
+  FROM ps
+)
+SELECT doc_id,
+  list_reduce(list_prepend(0::BIGINT, list_transform(mag, v -> floor(v * 1048576.0)::BIGINT)),
+              (a, b) -> a + b) AS mag_chk,
+  list_reduce(list_prepend(0::BIGINT, list_transform(sma, v -> v::BIGINT)),
+              (a, b) -> a + b) AS sma_sum,
+  n_rs::BIGINT AS n_rs,
+  list_reduce(list_prepend(0::BIGINT, list_transform(rs0, v -> floor(v * 1048576.0)::BIGINT)),
+              (a, b) -> a + b) AS rs0_chk,
+  list_reduce(list_prepend(0::BIGINT, list_transform(rs1, v -> floor(v * 1048576.0)::BIGINT)),
+              (a, b) -> a + b) AS rs1_chk
+FROM rs
+"""
+)
+
+
+@q("multichannel_features", SQL_MULTICHANNEL)
+def multichannel_features(spark, sf_dir):
+    """Multi-channel surface end-to-end (caits/properties.py:74-108
+    magnitude_signal/sma_signal, caits/preprocessing.py:63-100
+    resample_2d): a 2-channel signal built from the token stream (ch0 =
+    tok, ch1 = tok - 100, mixed signs), cross-channel magnitude + SMA per
+    sample, and a per-channel linear 100 Hz -> 64 Hz resample — all native
+    array expressions (functions/multichannel.py), verified by quantized
+    checksums (sqrt doubles are IEEE-identical cross-engine; SMA is exact
+    integer)."""
+    from .functions.multichannel import magnitude_signal, resample_2d, sma_signal
+
+    seqs = tokenize_documents(load(spark, sf_dir, "documents"))
+    two = seqs.select(
+        "doc_id",
+        F.expr("transform(tokens, t -> cast(t as double))").alias("ch0"),
+        F.expr("transform(tokens, t -> cast(t - 100 as double))").alias("ch1"),
+    )
+    m = two.withColumn("mag", magnitude_signal("ch0", "ch1")).withColumn(
+        "sma", sma_signal("ch0", "ch1")
+    )
+    r = resample_2d(m, ["ch0", "ch1"], native_sr=100, target_sr=64)
+    qfold = (
+        "aggregate(transform({a}, v -> cast(floor(v * 1048576.0) as bigint)), "
+        "cast(0 as bigint), (x, y) -> x + y)"
+    )
+    return r.select(
+        "doc_id",
+        F.expr(qfold.format(a="mag")).alias("mag_chk"),
+        F.expr(
+            "aggregate(transform(sma, v -> cast(v as bigint)), cast(0 as bigint), "
+            "(x, y) -> x + y)"
+        ).alias("sma_sum"),
+        F.col("n_rs").cast("long").alias("n_rs"),
+        F.expr(qfold.format(a="ch0_rs")).alias("rs0_chk"),
+        F.expr(qfold.format(a="ch1_rs")).alias("rs1_chk"),
+    )
+
+
 def _convolve_sql(size: int = 7) -> str:
     import numpy as np
 
