@@ -56,6 +56,11 @@ HEADLINE_QUERIES = [
     "bloom_prune_orders",
     "session_window_native",
     "lm_perplexity",
+    # round-4 additions
+    "dedup_substring",
+    "substring_dedup_clean",
+    "asof_bucketed_events",
+    "multichannel_features",
 ]
 
 

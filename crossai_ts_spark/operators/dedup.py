@@ -286,6 +286,13 @@ def duplicated_spans(docs: DataFrame, w: int = 50, text: str = "text") -> DataFr
         F.col(text).alias("t"),
         F.length(text).cast("long").alias("n_tok"),
     ).filter(F.length(text) >= w)
+    # scan parallelism follows BYTES but the explode multiplies ROWS by
+    # n_tok: a tiny single-row-group parquet would put every window on one
+    # core (measured 6x on the sf0.1 corpus). No-op at real table sizes.
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
     wins = d.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_tok") - w)).alias("off"),
