@@ -4229,6 +4229,100 @@ def dedup_substring(spark, sf_dir):
     return substring_dedup_stats(load(spark, sf_dir, "documents"), w=25)
 
 
+@q(
+    "decontamination",
+    """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS t, source,
+         length(text)::BIGINT AS n_tok
+  FROM documents
+), tw AS (
+  SELECT doc_id, ('0x' || substr(md5(substr(t, i::INT, 25)), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, t, unnest(range(1, n_tok - 25 + 2)) AS i FROM d
+        WHERE source NOT IN ('src0', 'src1') AND n_tok >= 25)
+), eh AS (
+  SELECT DISTINCT ('0x' || substr(md5(substr(t, i::INT, 25)), 1, 15))::BIGINT AS h
+  FROM (SELECT t, unnest(range(1, n_tok - 25 + 2)) AS i FROM d
+        WHERE source IN ('src0', 'src1') AND n_tok >= 25)
+), tot AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_windows FROM tw GROUP BY doc_id
+), hit AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_contaminated
+  FROM tw WHERE h IN (SELECT h FROM eh) GROUP BY doc_id
+)
+SELECT b.doc_id,
+  COALESCE(tot.n_windows, 0)::BIGINT AS n_windows,
+  COALESCE(hit.n_contaminated, 0)::BIGINT AS n_contaminated,
+  CASE WHEN COALESCE(tot.n_windows, 0) > 0
+       THEN COALESCE(hit.n_contaminated, 0)::DOUBLE / tot.n_windows::DOUBLE
+       ELSE 0.0::DOUBLE END AS contam_frac
+FROM (SELECT DISTINCT doc_id FROM d WHERE source NOT IN ('src0', 'src1')) b
+LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)
+""",
+)
+def decontamination(spark, sf_dir):
+    """Benchmark decontamination (public GPT-3/PaLM n-gram overlap method):
+    treat sources src0/src1 as the eval set, score every training doc by
+    the fraction of its 25-token windows found anywhere in the eval set —
+    operators/dedup.py contamination_scores (distinct'd eval hashes,
+    semi join, linear in training tokens)."""
+    from .operators.dedup import contamination_scores
+
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("source").isin("src0", "src1"))
+    tr = docs.filter(~F.col("source").isin("src0", "src1"))
+    return contamination_scores(tr, ev, w=25)
+
+
+def _bm25_sql(terms: list[str], k1: str = "1.2", b: str = "0.75") -> str:
+    from .operators.textstats import BM25_TERM_Q
+
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS ws
+  FROM documents
+), dl_all AS (
+  SELECT doc_id, len(ws)::BIGINT AS dl FROM base
+), stats AS (
+  SELECT COUNT(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS sum_dl FROM dl_all
+), ex AS (
+  SELECT doc_id, len(ws)::BIGINT AS dl, unnest(ws) AS w FROM base
+), tf AS (
+  SELECT doc_id, w, COUNT(*)::BIGINT AS tf, MIN(dl)::BIGINT AS dl
+  FROM ex WHERE w IN ({tl}) GROUP BY doc_id, w
+), dft AS (
+  SELECT w, COUNT(*)::BIGINT AS df FROM tf GROUP BY w
+), scored AS (
+  SELECT tf.doc_id,
+         CAST({BM25_TERM_Q.format(k1=k1, b=b)} AS BIGINT) AS term_q
+  FROM tf JOIN dft USING (w) CROSS JOIN stats
+), per_doc AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_hit_terms, SUM(term_q)::BIGINT AS bm25_q
+  FROM scored GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(p.n_hit_terms, 0)::BIGINT AS n_hit_terms,
+       COALESCE(p.bm25_q, 0)::BIGINT AS bm25_q
+FROM (SELECT DISTINCT doc_id FROM base) b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@q("bm25_scores", _bm25_sql(["join", "scan", "slow", "merge"]))
+def bm25_scores_q(spark, sf_dir):
+    """Okapi BM25 keyword relevance over the corpus for a fixed query-term
+    set (operators/textstats.py bm25_scores) — Lucene idf + k1/b
+    saturation, per-term contributions floor(x*2^20)-quantized before the
+    per-doc sum; the scoring expression string is shared verbatim with the
+    DuckDB oracle."""
+    from .operators.textstats import bm25_scores
+
+    return bm25_scores(
+        load(spark, sf_dir, "documents"), ["join", "scan", "slow", "merge"]
+    )
+
+
 def _substr_clean_sql(w: int) -> str:
     return (
         _substr_spans_sql(w)

@@ -265,6 +265,66 @@ def embedding_near_dups(
     return _cos_pairs(pairs, threshold)
 
 
+def _windows(docs: DataFrame, w: int, text: str = "text") -> DataFrame:
+    """(doc_id, off, h): every stride-1 w-token window's 64-bit hash.
+    Rows are round-robined to defaultParallelism first when the scan has
+    fewer partitions — the explode multiplies ROWS by n_tok while scan
+    parallelism follows BYTES (no-op at real table sizes)."""
+    d = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col(text).alias("t"),
+        F.length(text).cast("long").alias("n_tok"),
+    ).filter(F.length(text) >= w)
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    return d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_tok") - w)).alias("off"),
+        "t",
+    ).select("doc_id", "off", _h64(F.expr(f"substring(t, off + 1, {w})")).alias("h"))
+
+
+def contamination_scores(
+    train: DataFrame, eval_docs: DataFrame, w: int = 50, text: str = "text"
+) -> DataFrame:
+    """Benchmark decontamination (the public GPT-3/PaLM-style n-gram
+    overlap pass): for each training doc, the fraction of its w-token
+    windows that appear anywhere in the eval/benchmark set.
+
+    Scale shape: eval window hashes are DISTINCT'd (benchmarks are tiny
+    next to a training corpus) and semi-joined against the training
+    windows — linear in training tokens, one map-side-combined aggregate
+    per side, no pairing stage. Returns (doc_id, n_windows,
+    n_contaminated, contam_frac); docs shorter than w report 0 windows
+    and frac 0.
+    """
+    wt = _windows(train, w, text)
+    eh = _windows(eval_docs, w, text).select("h").distinct()
+    hits = wt.join(eh, "h", "semi").groupBy("doc_id").agg(
+        F.count("*").alias("n_contaminated")
+    )
+    totals = wt.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    base = train.select(F.col("doc_id").cast("string").alias("doc_id")).distinct()
+    return (
+        base.join(totals, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contam_frac",
+            F.when(
+                F.col("n_windows") > 0,
+                F.col("n_contaminated").cast("double") / F.col("n_windows").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
 def duplicated_spans(docs: DataFrame, w: int = 50, text: str = "text") -> DataFrame:
     """Substring-level dedup, find+merge stages (public method: Lee et al.
     2022, "Deduplicating Training Data Makes Language Models Better"):
@@ -281,23 +341,7 @@ def duplicated_spans(docs: DataFrame, w: int = 50, text: str = "text") -> DataFr
     the window hash, one semi join back, one per-doc ordered window for
     the interval merge. No O(n^2) stage exists to cap.
     """
-    d = docs.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.col(text).alias("t"),
-        F.length(text).cast("long").alias("n_tok"),
-    ).filter(F.length(text) >= w)
-    # scan parallelism follows BYTES but the explode multiplies ROWS by
-    # n_tok: a tiny single-row-group parquet would put every window on one
-    # core (measured 6x on the sf0.1 corpus). No-op at real table sizes.
-    spark = docs.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par)
-    wins = d.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_tok") - w)).alias("off"),
-        "t",
-    ).select("doc_id", "off", _h64(F.expr(f"substring(t, off + 1, {w})")).alias("h"))
+    wins = _windows(docs, w, text)
     dup = wins.groupBy("h").agg(F.count("*").alias("_c")).filter(F.col("_c") > 1).select("h")
     dw = wins.join(dup, "h", "semi").select("doc_id", "off")
     wspec = Window.partitionBy("doc_id").orderBy("off")

@@ -191,3 +191,71 @@ def lm_bigram_nll(docs: DataFrame, quantize: int | None = None) -> DataFrame:
         F.col("terms"), F.lit(0.0).cast("double"), lambda a, t: a + t["term"]
     ) / F.col("n_bigrams").cast("double")
     return g.select("doc_id", "n_bigrams", nll.alias("avg_nll"))
+
+
+# Okapi BM25 term-score expression, shared VERBATIM between the Spark plan
+# and the DuckDB oracle so both engines evaluate the identical double
+# arithmetic (Lucene/Robertson idf, k1/b saturation, floor(x * 2^20)
+# quantization of each term's contribution — the lm_perplexity precedent
+# for transcendental folds).
+BM25_TERM_Q = (
+    "floor("
+    "ln(cast(1 as double) + (cast(n_docs as double) - cast(df as double) + cast(0.5 as double))"
+    " / (cast(df as double) + cast(0.5 as double)))"
+    " * (cast(tf as double) / (cast(tf as double) + cast({k1} as double)"
+    " * (cast(1 as double) - cast({b} as double) + cast({b} as double)"
+    " * cast(dl as double) / (cast(sum_dl as double) / cast(n_docs as double)))))"
+    " * cast(1048576 as double))"
+)
+
+
+def bm25_scores(
+    docs: DataFrame, terms: list[str], k1: str = "1.2", b: str = "0.75"
+) -> DataFrame:
+    """Okapi BM25 relevance of every doc against a fixed term set — the
+    classic keyword-retrieval scorer a corpus-quality pipeline uses for
+    topic filtering. idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (Lucene's
+    non-negative variant), saturation tf/(tf + k1*(1-b+b*dl/avgdl)).
+
+    Scale shape: explode -> isin(terms) filter prunes to matching words
+    immediately (predicate inside the generate's child), tf/df are
+    map-side-combined aggregates, df (<= |terms| rows) and the 1-row
+    corpus stats broadcast — the corpus shuffles once, on (doc, term).
+    k1/b arrive as SQL literal strings so the Spark plan and the DuckDB
+    oracle evaluate byte-identical expressions; per-term scores are
+    floor(x * 2^20)-quantized before the per-doc sum. Returns (doc_id,
+    n_hit_terms, bm25_q) with zero rows for docs matching no term.
+    """
+    if not terms:
+        raise ValueError("bm25_scores needs at least one term")
+    words = _words()
+    base = docs.select(F.col("doc_id").cast("string").alias("doc_id"), words.alias("ws"))
+    ex = base.select(
+        "doc_id", F.size("ws").cast("long").alias("dl"), F.explode("ws").alias("w")
+    ).filter(F.col("w").isin(*terms))
+    tf = ex.groupBy("doc_id", "w").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    df_t = tf.groupBy("w").agg(F.count("*").alias("df"))
+    dl_all = base.select("doc_id", F.size("ws").cast("long").alias("dl"))
+    stats = dl_all.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    term_q = BM25_TERM_Q.format(k1=k1, b=b)
+    scored = (
+        tf.join(F.broadcast(df_t), "w")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("term_q", F.expr(term_q).cast("long"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_hit_terms"), F.sum("term_q").alias("bm25_q")
+    )
+    alld = docs.select(F.col("doc_id").cast("string").alias("doc_id")).distinct()
+    return (
+        alld.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hit_terms", F.lit(0)).cast("long").alias("n_hit_terms"),
+            F.coalesce("bm25_q", F.lit(0)).cast("long").alias("bm25_q"),
+        )
+    )

@@ -723,3 +723,65 @@ def test_asof_join_bucketed_timestamp_and_hot_key(spark):
         .groupBy("b").count().agg(F.max("count")).collect()[0][0]
     )
     assert per_bucket * 4 < hot_total
+
+
+def test_contamination_scores_semantics(spark):
+    import hashlib
+
+    from crossai_ts_spark.operators.dedup import contamination_scores
+
+    def gib(tag):
+        return hashlib.md5(tag.encode()).hexdigest() + hashlib.md5((tag + "x").encode()).hexdigest()
+
+    leak = "BENCHMARK-ANSWER-STRING-42"  # 26 chars, >= w
+    ev = spark.createDataFrame(
+        [(100, gib("e1")[:10] + leak, "en", "eval")],
+        "doc_id long, text string, lang string, source string",
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, gib("t1")[:20] + leak + gib("t2")[:20], "en", "web"),  # contains the leak
+            (2, gib("t3"), "en", "web"),                               # clean
+            (3, "short", "en", "web"),                                 # < w: 0 windows
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    w = 20
+    out = contamination_scores(tr, ev, w=w).toPandas().set_index("doc_id")
+    assert len(out) == 3
+    n1 = len(tr.collect()[0].text) - w + 1
+    assert out.loc["1", "n_windows"] == n1
+    # contaminated windows = those fully inside the 26-char leak = 26-20+1
+    assert out.loc["1", "n_contaminated"] == len(leak) - w + 1
+    assert 0 < out.loc["1", "contam_frac"] < 1
+    assert out.loc["2", "n_contaminated"] == 0 and out.loc["2", "contam_frac"] == 0.0
+    assert out.loc["3", "n_windows"] == 0 and out.loc["3", "contam_frac"] == 0.0
+
+
+def test_bm25_scores_semantics(spark):
+    import math
+
+    from crossai_ts_spark.operators.textstats import bm25_scores
+
+    rows = [
+        (1, "spark join join join fast", "en", "t"),   # tf(join)=3, dl=5
+        (2, "join once here", "en", "t"),              # tf(join)=1, dl=3
+        (3, "nothing relevant at all", "en", "t"),     # no hits
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = bm25_scores(docs, ["join"]).toPandas().set_index("doc_id")
+    assert len(out) == 3
+    assert out.loc["3", "n_hit_terms"] == 0 and out.loc["3", "bm25_q"] == 0
+
+    n_docs, sum_dl, df = 3, 12, 2
+    avgdl = sum_dl / n_docs
+    idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+
+    def q(tf, dl):
+        sat = tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        return math.floor(idf * sat * 1048576.0)
+
+    assert out.loc["1", "bm25_q"] == q(3, 5)
+    assert out.loc["2", "bm25_q"] == q(1, 3)
+    # higher tf => higher score
+    assert out.loc["1", "bm25_q"] > out.loc["2", "bm25_q"]
