@@ -19,50 +19,40 @@ from crossai_ts_spark.entry_queries import REGISTRY  # noqa: E402
 
 # Driver CORRECTNESS coverage rotation: the driver checks a bounded prefix
 # (~50) of queries() per round, so iteration order is
-# least-recently-driver-checked first:
-#   1. never-checked (new this round), in registry order
-#   2. queries whose latest green driver row is r02 (stale — round-3 code
-#      changes touched shared plan code under several of them)
-#   3. queries checked in r03 (freshest), last.
-# Keep this updated each round from CORRECTNESS_r{N}.json key sets.
-_CHECKED_R02_ONLY = [
-    "gapfill_locf", "gapfill_linear", "islands", "islands_duration",
-    "interval_iou", "sessionization", "rolling_rms", "zcr_user",
-    "dominant_minute", "stats_composite", "moments", "outlier_zscore",
-    "outlier_iqr", "correlation", "tpch_q1_exact", "topk_per_group",
-    "anti_join_split", "union_distinct", "embedding_norms",
-    "ann_cosine_topk", "simhash", "dedup_canonical", "token_counts",
-    "quality_scores", "lang_id", "augment_reverse_polarity",
-    "augment_gain_noise", "db_scaling", "normalize_signal",
-    "label_encode", "entropy_per_user", "detection_metrics", "lsh_ann",
-]
+# least-recently-driver-checked first — never-checked queries (new this
+# round) lead, then ascending by the round of each query's latest driver
+# row. Derived at import time from the CORRECTNESS_r*.json artifacts the
+# driver itself writes, so the rotation maintains itself as rounds accrue.
 
-_CHECKED_R03 = [
-    "dedup_clusters", "repetition_scores", "mfcc_stats",
-    "embedding_near_dups", "ivf_ann", "spearman_correlation",
-    "high_corr_pairs", "butterworth_sosfilt", "cubic_spline_interp",
-    "event_classification", "ep3_pipeline", "rolling_composites",
-    "compression_ratio", "augment_pool_quantize", "augment_crop_resize",
-    "augment_drift", "augment_dropout", "augment_timewarp_stretch",
-    "pcen_hpss", "resample_polyphase", "lm_perplexity",
-    "bloom_prune_orders", "session_window_native", "json_props_stats",
-    "asof_join_events", "resample_fir_exact", "find_peaks_minutes",
-    "stratified_split", "shuffle_ranks", "rolling_window_hann",
-    "kendall_tau", "eepd_counts", "augment_convolve",
-    "spectral_features", "dsp_features", "codec_roundtrip",
-    "compressed_tiers", "minhash_lsh", "ngram_jaccard",
-    "tokenize_stats", "rollup_tier1", "rollup_tier2_cascade",
-    "rollup_source_windows", "trim_signal", "chunks", "sliding_windows",
-    "resample_zoh", "fingerprint", "token_quality", "dedup_exact",
-]
+
+def _last_checked() -> dict[str, int]:
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.load(open(path))
+        except (json.JSONDecodeError, OSError):
+            continue
+        if isinstance(data, dict):
+            for name, rec in data.items():
+                if isinstance(rec, dict):
+                    last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _ordered_names() -> list[str]:
-    checked = set(_CHECKED_R02_ONLY) | set(_CHECKED_R03)
-    fresh = [n for n in REGISTRY if n not in checked]
-    stale = [n for n in _CHECKED_R02_ONLY if n in REGISTRY]
-    newest = [n for n in _CHECKED_R03 if n in REGISTRY]
-    return fresh + stale + newest
+    last = _last_checked()
+    names = list(REGISTRY)
+    # stable: never-checked (0) first in registry order, then oldest rounds
+    return sorted(names, key=lambda n: last.get(n, 0))
 
 
 def entry(spark: SparkSession) -> DataFrame:

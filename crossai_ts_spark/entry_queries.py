@@ -4164,10 +4164,21 @@ FROM cl
     )
 
 
-def _substr_spans_sql(w: int) -> str:
+def _substr_spans_sql(w: int, keep_first: bool = False) -> str:
     # shared CTE chain: docs -> stride-1 w-char window hashes -> windows
-    # whose hash repeats anywhere in the corpus -> per-doc merged maximal
+    # whose hash repeats anywhere in the corpus (keep_first exempts each
+    # hash's (doc, off)-smallest occurrence) -> per-doc merged maximal
     # spans [s, e). Pure integer/string ops — hash-exact cross-engine.
+    if keep_first:
+        dw = """
+  SELECT doc_id, o FROM (
+    SELECT w.doc_id, w.o,
+           row_number() OVER (PARTITION BY w.h ORDER BY w.doc_id, w.o) AS rn
+    FROM wins w JOIN dup USING (h)
+  ) WHERE rn > 1
+"""
+    else:
+        dw = "  SELECT w.doc_id, w.o FROM wins w JOIN dup USING (h)\n"
     return f"""
 WITH d AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS t, length(text)::BIGINT AS n_tok
@@ -4181,8 +4192,7 @@ WITH d AS (
 ), dup AS (
   SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1
 ), dw AS (
-  SELECT w.doc_id, w.o FROM wins w JOIN dup USING (h)
-), isl AS (
+{dw}), isl AS (
   SELECT doc_id, o,
          CASE WHEN max(o + {w}) OVER (PARTITION BY doc_id ORDER BY o
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
@@ -4201,9 +4211,9 @@ WITH d AS (
 """
 
 
-def _substr_stats_sql(w: int) -> str:
+def _substr_stats_sql(w: int, keep_first: bool = False) -> str:
     return (
-        _substr_spans_sql(w)
+        _substr_spans_sql(w, keep_first)
         + """
 , agg AS (
   SELECT doc_id, COUNT(*)::BIGINT AS n_spans, SUM(e - s)::BIGINT AS dup_tokens
@@ -4227,6 +4237,66 @@ def dedup_substring(spark, sf_dir):
     from .operators.dedup import substring_dedup_stats
 
     return substring_dedup_stats(load(spark, sf_dir, "documents"), w=25)
+
+
+@q(
+    "gopher_rules",
+    """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS ws
+  FROM documents
+), st AS (
+  SELECT doc_id,
+         len(ws)::BIGINT AS n_words,
+         list_reduce(list_prepend(0::BIGINT, list_transform(ws, w -> length(w)::BIGINT)),
+                     (a, b) -> a + b) AS sum_wlen,
+         list_reduce(list_prepend(0::BIGINT, list_transform(ws, w ->
+           (length(w) - length(replace(replace(replace(w, '#', ''), '!', ''), '?', '')))::BIGINT)),
+                     (a, b) -> a + b) AS n_sym,
+         len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS n_alpha,
+         len(list_filter(ws, w -> w IN ('the', 'and', 'of', 'to', 'a', 'in', 'is')))::BIGINT AS n_stop
+  FROM base WHERE len(ws) > 0
+)
+SELECT doc_id, n_words,
+  sum_wlen::DOUBLE / n_words::DOUBLE AS mean_wlen,
+  (n_words BETWEEN 50 AND 100000) AS ok_nwords,
+  (sum_wlen::DOUBLE / n_words::DOUBLE >= CAST(3.0 AS DOUBLE)
+   AND sum_wlen::DOUBLE / n_words::DOUBLE <= CAST(10.0 AS DOUBLE)) AS ok_wlen,
+  (n_sym::DOUBLE / n_words::DOUBLE <= CAST(0.1 AS DOUBLE)) AS ok_symbols,
+  (n_alpha::DOUBLE / n_words::DOUBLE >= CAST(0.8 AS DOUBLE)) AS ok_alpha,
+  (n_stop >= 2) AS ok_stopwords,
+  ((n_words BETWEEN 50 AND 100000)
+   AND (sum_wlen::DOUBLE / n_words::DOUBLE >= CAST(3.0 AS DOUBLE)
+        AND sum_wlen::DOUBLE / n_words::DOUBLE <= CAST(10.0 AS DOUBLE))
+   AND (n_sym::DOUBLE / n_words::DOUBLE <= CAST(0.1 AS DOUBLE))
+   AND (n_alpha::DOUBLE / n_words::DOUBLE >= CAST(0.8 AS DOUBLE))
+   AND (n_stop >= 2)) AS keep
+FROM st
+""",
+)
+def gopher_rules_q(spark, sf_dir):
+    """Gopher-family rule-set quality filter (published public thresholds:
+    word count, mean word length, symbol ratio, alpha-word fraction,
+    stopword presence) — operators/textstats.py gopher_rules, pure
+    columnar, per-rule booleans + composite keep."""
+    from .operators.textstats import gopher_rules
+
+    return gopher_rules(load(spark, sf_dir, "documents"))
+
+
+@q("substring_dedup_keepfirst", _substr_stats_sql(25, keep_first=True))
+def substring_dedup_keepfirst(spark, sf_dir):
+    """Keep-one substring dedup (the Lee et al. paper semantics): each
+    duplicated window's canonical (doc, off)-smallest occurrence is exempt
+    from removal, so exactly one copy of every duplicated region survives;
+    spans are merged over the remaining occurrences only. The row_number
+    runs over the already-restricted duplicated rows, not the corpus."""
+    from .operators.dedup import substring_dedup_stats
+
+    return substring_dedup_stats(
+        load(spark, sf_dir, "documents"), w=25, keep_first=True
+    )
 
 
 @q(

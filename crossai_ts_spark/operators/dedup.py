@@ -325,7 +325,9 @@ def contamination_scores(
     )
 
 
-def duplicated_spans(docs: DataFrame, w: int = 50, text: str = "text") -> DataFrame:
+def duplicated_spans(
+    docs: DataFrame, w: int = 50, text: str = "text", keep_first: bool = False
+) -> DataFrame:
     """Substring-level dedup, find+merge stages (public method: Lee et al.
     2022, "Deduplicating Training Data Makes Language Models Better"):
     every w-token window that occurs more than once ANYWHERE in the corpus
@@ -334,16 +336,27 @@ def duplicated_spans(docs: DataFrame, w: int = 50, text: str = "text") -> DataFr
     token offsets. Tokens here are the corpus' code-point tokens (one char
     = one token, the repo-wide convention).
 
+    keep_first=False marks EVERY occurrence (the practical both-copies
+    variant the public deduplicate-text-datasets tooling ships);
+    keep_first=True exempts each window hash's canonical occurrence — the
+    (doc_id, off)-smallest — so exactly one copy of each duplicated
+    region survives removal, the paper's semantics.
+
     Scale shape (the distributed analogue of the paper's suffix array,
     which is single-node): stride-1 window hashing is LINEAR in corpus
     token count — one explode (no pairing, so a boilerplate window shared
     by d docs costs d rows, never d^2), one map-side-combined groupBy on
-    the window hash, one semi join back, one per-doc ordered window for
-    the interval merge. No O(n^2) stage exists to cap.
+    the window hash, one semi join back (keep_first adds a row_number
+    over the already-restricted duplicated rows only), one per-doc
+    ordered window for the interval merge. No O(n^2) stage exists to cap.
     """
     wins = _windows(docs, w, text)
     dup = wins.groupBy("h").agg(F.count("*").alias("_c")).filter(F.col("_c") > 1).select("h")
-    dw = wins.join(dup, "h", "semi").select("doc_id", "off")
+    dw = wins.join(dup, "h", "semi")
+    if keep_first:
+        wcan = Window.partitionBy("h").orderBy("doc_id", "off")
+        dw = dw.withColumn("_rn", F.row_number().over(wcan)).filter(F.col("_rn") > 1)
+    dw = dw.select("doc_id", "off")
     wspec = Window.partitionBy("doc_id").orderBy("off")
     prev_end = F.max(F.col("off") + w).over(wspec.rowsBetween(Window.unboundedPreceding, -1))
     isl = dw.withColumn(
@@ -356,11 +369,13 @@ def duplicated_spans(docs: DataFrame, w: int = 50, text: str = "text") -> DataFr
     )
 
 
-def substring_dedup_stats(docs: DataFrame, w: int = 50, text: str = "text") -> DataFrame:
+def substring_dedup_stats(
+    docs: DataFrame, w: int = 50, text: str = "text", keep_first: bool = False
+) -> DataFrame:
     """Per-doc duplicated-span inventory: (doc_id, n_tok, n_spans,
     dup_tokens, dup_frac). Docs shorter than w or with no duplicated
     window report 0 spans."""
-    spans = duplicated_spans(docs, w, text)
+    spans = duplicated_spans(docs, w, text, keep_first=keep_first)
     agg = spans.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
         F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
@@ -381,11 +396,13 @@ def substring_dedup_stats(docs: DataFrame, w: int = 50, text: str = "text") -> D
     )
 
 
-def apply_substring_dedup(docs: DataFrame, w: int = 50, text: str = "text") -> DataFrame:
-    """Removal mask applied: drop every duplicated span (both copies — the
-    practical variant shipped by the public deduplicate-text-datasets
-    tooling; keeping exactly one copy requires a global occurrence order)
-    and stitch the kept segments back together.
+def apply_substring_dedup(
+    docs: DataFrame, w: int = 50, text: str = "text", keep_first: bool = False
+) -> DataFrame:
+    """Removal mask applied: drop the marked duplicated spans (both copies
+    by default; keep_first=True leaves the canonical occurrence of each
+    duplicated window in place — the Lee et al. keep-one semantics) and
+    stitch the kept segments back together.
 
     Built join-free from the span table: kept intervals are the per-doc
     complement of the merged spans (lag(span_end) .. span_start, plus the
@@ -393,7 +410,7 @@ def apply_substring_dedup(docs: DataFrame, w: int = 50, text: str = "text") -> D
     concatenated in offset order — all JVM-side string ops, no fold state.
     Returns (doc_id, n_tok, clean_len, clean_text).
     """
-    spans = duplicated_spans(docs, w, text)
+    spans = duplicated_spans(docs, w, text, keep_first=keep_first)
     base = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.col(text).alias("t"),

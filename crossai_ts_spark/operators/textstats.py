@@ -259,3 +259,71 @@ def bm25_scores(
             F.coalesce("bm25_q", F.lit(0)).cast("long").alias("bm25_q"),
         )
     )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wlen: str = "3.0",
+    max_mean_wlen: str = "10.0",
+    max_symbol_ratio: str = "0.1",
+    min_alpha_frac: str = "0.8",
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-family rule-set quality filter (the published public
+    thresholds: word count in [50, 100k], mean word length in [3, 10],
+    symbol-to-word ratio <= 0.1, >= 80% of words containing an alphabetic
+    char, >= 2 stopwords). Pure columnar expressions — no shuffle, no
+    Python; thresholds are SQL literal strings so an oracle can evaluate
+    the byte-identical predicate. Returns per-rule booleans + `keep`.
+    """
+    words = _words()
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), words.alias("ws")
+    ).filter(F.size("ws") > 0)
+    nw = F.size("ws").cast("long")
+    sum_wlen = F.expr(
+        "aggregate(transform(ws, w -> cast(length(w) as bigint)), cast(0 as bigint), (a, b) -> a + b)"
+    )
+    n_sym = F.expr(
+        "aggregate(transform(ws, w -> cast(length(w) - length(replace(replace(replace(w, '#', ''), '!', ''), '?', '')) as bigint)), cast(0 as bigint), (a, b) -> a + b)"
+    )
+    n_alpha = F.size(F.filter(F.col("ws"), lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    n_stop = F.size(F.filter(F.col("ws"), lambda w: w.isin(*STOPWORDS))).cast("long")
+    st = base.select(
+        "doc_id",
+        nw.alias("n_words"),
+        sum_wlen.alias("sum_wlen"),
+        n_sym.alias("n_sym"),
+        n_alpha.alias("n_alpha"),
+        n_stop.alias("n_stop"),
+    )
+    mean_wlen = F.col("sum_wlen").cast("double") / F.col("n_words").cast("double")
+    rules = st.select(
+        "doc_id",
+        "n_words",
+        mean_wlen.alias("mean_wlen"),
+        (F.col("n_words").between(min_words, max_words)).alias("ok_nwords"),
+        (
+            (mean_wlen >= F.expr(f"cast({min_mean_wlen} as double)"))
+            & (mean_wlen <= F.expr(f"cast({max_mean_wlen} as double)"))
+        ).alias("ok_wlen"),
+        (
+            F.col("n_sym").cast("double") / F.col("n_words").cast("double")
+            <= F.expr(f"cast({max_symbol_ratio} as double)")
+        ).alias("ok_symbols"),
+        (
+            F.col("n_alpha").cast("double") / F.col("n_words").cast("double")
+            >= F.expr(f"cast({min_alpha_frac} as double)")
+        ).alias("ok_alpha"),
+        (F.col("n_stop") >= min_stopwords).alias("ok_stopwords"),
+    )
+    keep = (
+        F.col("ok_nwords")
+        & F.col("ok_wlen")
+        & F.col("ok_symbols")
+        & F.col("ok_alpha")
+        & F.col("ok_stopwords")
+    )
+    return rules.withColumn("keep", keep)

@@ -785,3 +785,47 @@ def test_bm25_scores_semantics(spark):
     assert out.loc["2", "bm25_q"] == q(1, 3)
     # higher tf => higher score
     assert out.loc["1", "bm25_q"] > out.loc["2", "bm25_q"]
+
+
+def test_substring_dedup_keep_first(spark):
+    from crossai_ts_spark.operators.dedup import apply_substring_dedup, duplicated_spans
+
+    boiler = "KEEP-ONE-COPY-OF-THIS-REGION-99"  # 31 chars
+    rows = [
+        (1, "headA1" + boiler + "2tailA", "en", "t"),
+        (2, "headB3" + boiler + "4tailB", "en", "t"),
+        (3, "headC5" + boiler + "6tailC", "en", "t"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    w = 10
+    # both-copies variant marks the region in all three docs
+    both = duplicated_spans(docs, w=w).toPandas()
+    assert set(both.doc_id) == {"1", "2", "3"}
+    # keep-first exempts the canonical occurrence: doc "1" (smallest
+    # (doc_id, off) per window hash) keeps its copy untouched
+    kf = duplicated_spans(docs, w=w, keep_first=True).toPandas()
+    assert set(kf.doc_id) == {"2", "3"}
+    out = apply_substring_dedup(docs, w=w, keep_first=True).toPandas().set_index("doc_id")
+    assert out.loc["1", "clean_text"] == rows[0][1]          # canonical survives
+    assert out.loc["2", "clean_text"] == "headB3" + "4tailB"
+    assert out.loc["3", "clean_text"] == "headC5" + "6tailC"
+
+
+def test_gopher_rules_semantics(spark):
+    from crossai_ts_spark.operators.textstats import gopher_rules
+
+    good = " ".join(["the and of to a in is"] * 8 + ["quality content words here"] * 7)
+    rows = [
+        (1, good, "en", "t"),                                # passes everything
+        (2, "too few words here", "en", "t"),                # fails min_words
+        (3, " ".join(["####"] * 60), "en", "t"),             # fails symbols+alpha+stopwords
+        (4, " ".join(["a"] * 60), "en", "t"),                # mean wlen 1 < 3
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = gopher_rules(docs).toPandas().set_index("doc_id")
+    assert bool(out.loc["1", "keep"]) is True
+    assert bool(out.loc["2", "ok_nwords"]) is False and not out.loc["2", "keep"]
+    assert bool(out.loc["3", "ok_symbols"]) is False
+    assert bool(out.loc["3", "ok_alpha"]) is False
+    assert bool(out.loc["4", "ok_wlen"]) is False and bool(out.loc["4", "ok_nwords"]) is True
+    assert (~out.loc[["2", "3", "4"], "keep"].astype(bool)).all()

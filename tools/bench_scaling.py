@@ -65,7 +65,7 @@ job(limit=4000)
 # min of 3 trials: the sandbox VM shows +-2x run-to-run noise (shared host);
 # the minimum is the least-throttled estimate of the configuration's speed
 walls = []
-for _ in range(3):
+for _ in range({trials}):
     t0 = time.monotonic()
     n_segs = job()
     walls.append(time.monotonic() - t0)
@@ -80,8 +80,8 @@ spark.stop()
 """
 
 
-def run_level(cores: int, path: str) -> dict:
-    code = CHILD.format(repo=REPO, cores=cores, path=path)
+def run_level(cores: int, path: str, trials: int = 3) -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, path=path, trials=trials)
     r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=3000)
     for line in r.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -94,6 +94,7 @@ def main() -> int:
     ap.add_argument("--docs", type=int, default=60000)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--keep-input", action="store_true")
     args = ap.parse_args()
 
@@ -104,8 +105,8 @@ def main() -> int:
             check=True, capture_output=True, timeout=3000,
         )
 
-    lo = run_level(args.low, path)
-    hi = run_level(args.high, path)
+    lo = run_level(args.low, path, args.trials)
+    hi = run_level(args.high, path, args.trials)
     ratio = args.high / args.low
     speedup = lo["wall"] / hi["wall"]
     eff = speedup / ratio
