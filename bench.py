@@ -59,8 +59,12 @@ HEADLINE_QUERIES = [
     # round-4 additions
     "dedup_substring",
     "substring_dedup_clean",
+    "substring_dedup_keepfirst",
     "asof_bucketed_events",
     "multichannel_features",
+    "decontamination",
+    "bm25_scores",
+    "gopher_rules",
 ]
 
 
