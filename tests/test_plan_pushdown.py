@@ -40,3 +40,38 @@ def test_partition_pruning_on_partitioned_tier_sink(spark, tmp_path):
     n_click = back.count()
     n_all = spark.read.parquet(out).count()
     assert 0 < n_click < n_all
+
+
+def test_substring_dedup_plan_prunes_and_never_pairs(spark):
+    """The substring-dedup scan reads only (doc_id, text) and the plan
+    contains no pairing stage — no cartesian/nested-loop join anywhere."""
+    from crossai_ts_spark.operators.dedup import substring_dedup_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(substring_dedup_stats(docs, w=25))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    for rs in [seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]]:
+        assert "lang" not in rs and "n_chars" not in rs, rs
+
+
+def test_bm25_plan_broadcasts_stats_not_corpus(spark):
+    """df/stats sides broadcast; the corpus is never nested-loop joined."""
+    from crossai_ts_spark.operators.textstats import bm25_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(bm25_scores(docs, ["join", "scan"]))
+    assert "CartesianProduct" not in plan, plan
+    # the 1-row stats cross join must be a broadcast, not a shuffle join
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_asof_bucketed_plan_partitions_by_bucket(spark):
+    """The main ordered window hash-partitions on (key, bucket), not on the
+    key alone — the whole point of the hot-key refinement."""
+    from crossai_ts_spark.operators.asof import asof_join_bucketed
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    l = ev.filter("event_type = 'click'").select("user_id", "ts", "event_id")
+    r = ev.filter("event_type = 'view'").select("user_id", "ts", "value")
+    plan = _plan(asof_join_bucketed(l, r, on="ts", by=["user_id"], bucket_us=3_600_000_000))
+    assert "hashpartitioning(user_id" in plan and "_b#" in plan.split("hashpartitioning(user_id", 1)[1][:80], plan
