@@ -2028,8 +2028,9 @@ SQL_SPEARMAN = (
   FROM r GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
-       (n * sxy - sx * sy)::DOUBLE
-         / (sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE))
+       (sxy::DOUBLE - ((n::DOUBLE * (sx::DOUBLE / n::DOUBLE)) * (sy::DOUBLE / n::DOUBLE)))
+         / (sqrt(sxx::DOUBLE - ((n::DOUBLE * (sx::DOUBLE / n::DOUBLE)) * (sx::DOUBLE / n::DOUBLE)))
+            * sqrt(syy::DOUBLE - ((n::DOUBLE * (sy::DOUBLE / n::DOUBLE)) * (sy::DOUBLE / n::DOUBLE))))
          AS spearman_q_disc
 FROM s
 """
@@ -2041,9 +2042,10 @@ def spearman_correlation(spark, sf_dir):
     """Spearman rank correlation (caits/eda/correlation.py:35-65, the
     method='spearman' branch): average-rank ties via the integer identity
     2*avg_rank = 2*rank() + (n_ties - 1) — Pearson is scale-invariant, so
-    doubled ranks give the identical coefficient from EXACT integer sums.
-    (Rank sums overflow int64 around n~1e7 rows per group — at engine scale
-    rank correlation runs on per-window aggregates, not raw points.)"""
+    doubled ranks give the identical coefficient from EXACT integer sums;
+    the final coefficient uses the mean-based double form (identical op
+    order in both engines) because the n*sxy-sx*sy integer form overflows
+    int64 once a group passes ~5e5 rows."""
     li = _li(spark, sf_dir)
     rx = (
         2 * F.rank().over(Window.partitionBy("l_returnflag").orderBy("q"))
@@ -2064,9 +2066,15 @@ def spearman_correlation(spark, sf_dir):
         F.sum(F.col("ry") * F.col("ry")).alias("syy"),
         F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
     )
-    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "syy", "sxy"])
-    rho = (n * sxy - sx * sy).cast("double") / (
-        F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt((n * syy - sy * sy).cast("double"))
+    # mean-based double form, operation-for-operation the oracle's: the
+    # n*sxy-sx*sy integer form overflows int64 once groups pass ~5e5 rows
+    # (rank sums scale with n^3) — hit for real at sf0.1
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    rho = (F.col("sxy").cast("double") - ((nd * mx) * my)) / (
+        F.sqrt(F.col("sxx").cast("double") - ((nd * mx) * mx))
+        * F.sqrt(F.col("syy").cast("double") - ((nd * my) * my))
     )
     return s.select("l_returnflag", "n", rho.alias("spearman_q_disc"))
 
