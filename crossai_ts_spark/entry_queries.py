@@ -4248,6 +4248,45 @@ def dedup_substring(spark, sf_dir):
 
 
 @q(
+    "sequence_packing",
+    """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         length(text)::BIGINT AS n_tok
+  FROM documents WHERE length(text) > 0
+), c AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+  FROM d
+), p AS (
+  SELECT doc_id, source, n_tok, (cum_end - n_tok)::BIGINT AS cum_start,
+         ((cum_end - n_tok) // 512)::BIGINT AS pack_id,
+         ((cum_end - n_tok) % 512)::BIGINT AS pack_off,
+         ((cum_end - 1) // 512)::BIGINT AS last_pack
+  FROM c
+)
+SELECT doc_id, source, n_tok, cum_start, pack_id, pack_off,
+       (last_pack != pack_id) AS spans_packs,
+       (last_pack - pack_id + 1)::BIGINT AS n_packs_touched
+FROM p
+""",
+)
+def sequence_packing(spark, sf_dir):
+    """GPT-style training-sequence packing (concatenate docs per shard in
+    deterministic order, chop at 512-token boundaries): per doc, the pack
+    and offset of its first token plus boundary-straddle facts. The
+    cumulative sum runs PER SOURCE SHARD — all shards in parallel, no
+    global single-task prefix sum — operators/packing.py."""
+    from .operators.packing import pack_sequences
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").alias("n_tok")
+    )
+    return pack_sequences(docs, seq_len=512, by="source")
+
+
+@q(
     "gopher_rules",
     """
 WITH base AS (

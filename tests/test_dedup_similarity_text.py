@@ -829,3 +829,35 @@ def test_gopher_rules_semantics(spark):
     assert bool(out.loc["3", "ok_alpha"]) is False
     assert bool(out.loc["4", "ok_wlen"]) is False and bool(out.loc["4", "ok_nwords"]) is True
     assert (~out.loc[["2", "3", "4"], "keep"].astype(bool)).all()
+
+
+def test_sequence_packing_semantics(spark):
+    from crossai_ts_spark.operators.packing import pack_sequences, pack_summary
+
+    rows = [
+        ("a01", "s1", 30), ("a02", "s1", 30), ("a03", "s1", 50),  # s1: 110 toks
+        ("b01", "s2", 64), ("b02", "s2", 64),                      # s2: exact fits
+    ]
+    seqs = spark.createDataFrame(rows, "doc_id string, source string, n_tok long")
+    out = pack_sequences(seqs, seq_len=64, by="source").toPandas().set_index("doc_id")
+    # s1: a01 [0,30) pack0; a02 [30,60) pack0; a03 [60,110) straddles 0->1
+    assert out.loc["a01", "pack_id"] == 0 and out.loc["a01", "pack_off"] == 0
+    assert out.loc["a02", "pack_id"] == 0 and out.loc["a02", "pack_off"] == 30
+    assert bool(out.loc["a02", "spans_packs"]) is False
+    assert out.loc["a03", "pack_id"] == 0 and out.loc["a03", "pack_off"] == 60
+    assert bool(out.loc["a03", "spans_packs"]) is True and out.loc["a03", "n_packs_touched"] == 2
+    # s2: exact boundary — b02 starts cleanly in pack 1, no straddle
+    assert out.loc["b01", "pack_id"] == 0 and bool(out.loc["b01", "spans_packs"]) is False
+    assert out.loc["b02", "pack_id"] == 1 and out.loc["b02", "pack_off"] == 0
+    assert bool(out.loc["b02", "spans_packs"]) is False
+
+    s = pack_summary(pack_sequences(seqs, seq_len=64, by="source"), 64).toPandas()
+    s1p0 = s[(s.source == "s1") & (s.pack_id == 0)].iloc[0]
+    assert s1p0.n_docs == 3 and s1p0.toks_started == 110 and s1p0.n_straddlers == 1
+
+    # shards are independent: repartitioning must not change the packing
+    out13 = (
+        pack_sequences(seqs.repartition(13), seq_len=64, by="source")
+        .toPandas().set_index("doc_id")
+    )
+    assert out13.sort_index().equals(out.sort_index())
