@@ -65,6 +65,7 @@ HEADLINE_QUERIES = [
     "decontamination",
     "bm25_scores",
     "gopher_rules",
+    "sequence_packing",
 ]
 
 

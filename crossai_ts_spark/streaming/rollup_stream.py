@@ -197,3 +197,61 @@ def streaming_sessions(stream: DataFrame, ts_col: str = "ts", gap: str = "60 sec
             "n_events",
         )
     )
+
+
+def streaming_packing(stream: DataFrame, seq_len: int = 2048, by: str = "source") -> DataFrame:
+    """Stateful streaming sequence packing (the streaming face of
+    operators/packing.pack_sequences): docs arrive per shard; GroupState
+    carries the shard's running token offset across triggers, so each doc
+    gets the (pack_id, pack_off) the batch packer would assign if fed in
+    the same order. ARRIVAL order is the packing order — the streaming
+    contract (a live packer cannot sort the future); within a trigger,
+    rows are doc_id-sorted for determinism. Feeding doc_id-ordered
+    triggers reproduces the batch assignment exactly (parity-tested).
+    State per shard is ONE long (the offset cursor) — bounded regardless
+    of stream length.
+    """
+    import pandas as pd
+
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+
+    def fn(key, pdfs, state):
+        (shard,) = key
+        off = state.get[0] if state.exists else 0
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            for doc_id, n_tok in zip(pdf["doc_id"], pdf["n_tok"]):
+                n = int(n_tok)
+                if n <= 0:
+                    continue
+                pack_id, pack_off = off // seq_len, off % seq_len
+                last_pack = (off + n - 1) // seq_len
+                rows.append(
+                    (
+                        str(doc_id),
+                        shard,
+                        n,
+                        off,
+                        pack_id,
+                        pack_off,
+                        last_pack != pack_id,
+                        last_pack - pack_id + 1,
+                    )
+                )
+                off += n
+        state.update((off,))
+        cols = [
+            "doc_id", by, "n_tok", "cum_start", "pack_id", "pack_off",
+            "spans_packs", "n_packs_touched",
+        ]
+        yield pd.DataFrame(rows, columns=cols)
+
+    out_schema = (
+        f"doc_id string, {by} string, n_tok long, cum_start long, pack_id long, "
+        "pack_off long, spans_packs boolean, n_packs_touched long"
+    )
+    return stream.groupBy(by).applyInPandasWithState(
+        fn, out_schema, "off long", "append", "NoTimeout"
+    )

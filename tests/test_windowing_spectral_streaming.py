@@ -394,3 +394,39 @@ def test_streaming_sessions_match_batch_closed_sessions(spark, tmp_path):
     assert len(g) > 50  # the stream genuinely emitted sessions
     pd.testing.assert_frame_equal(g[key + ["sess_end", "n_events"]],
                                   c[key + ["sess_end", "n_events"]])
+
+
+def test_streaming_packing_matches_batch(spark, tmp_path):
+    """Docs fed in doc_id-ordered triggers get the exact (pack_id,
+    pack_off) assignment of the batch packer; the offset cursor survives
+    across micro-batches; state is one long per shard."""
+    import pandas as pd
+
+    from crossai_ts_spark.operators.packing import pack_sequences
+    from crossai_ts_spark.streaming.rollup_stream import run_to_memory, streaming_packing
+
+    schema = "doc_id string, source string, n_tok long"
+    b0 = [("a01", "s1", 300), ("a02", "s1", 300), ("b01", "s2", 512)]
+    b1 = [("a03", "s1", 500), ("b02", "s2", 100)]   # continues both shards
+    in_dir = tmp_path / "pack_stream"
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(str(in_dir / "b0"))
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(in_dir / "b1"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*")
+    )
+    run_to_memory(streaming_packing(stream, seq_len=512), "pack_stream_out")
+    got = (
+        spark.sql("SELECT * FROM pack_stream_out")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    batch = (
+        pack_sequences(spark.createDataFrame(b0 + b1, schema), seq_len=512)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[batch.columns], batch, check_dtype=False)
+    # cross-batch cursor: a03 starts at 600 (after a01+a02), straddling
+    a03 = got.set_index("doc_id").loc["a03"]
+    assert a03.cum_start == 600 and a03.pack_id == 1 and bool(a03.spans_packs)
