@@ -234,15 +234,24 @@ def embedding_near_dups(
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
         return _cos_pairs(pairs, threshold)
 
-    from .similarity import lsh_bucket
+    from .similarity import lsh_bucket_col
 
     base = emb.select("vec_id", "embedding")
-    tabs = None
-    for t in range(n_tables):
-        bt = lsh_bucket(base, dim, n_bits, seed + 1000003 * t).select(
-            F.lit(t).alias("tbl"), "vec_id", "bucket"
-        )
-        tabs = bt if tabs is None else tabs.unionByName(bt)
+    # every table's bucket in ONE projection over ONE scan (the 4-way
+    # union-of-selects form re-read the embeddings once per table),
+    # exploded to the same (tbl, vec_id, bucket) rows
+    tb = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket_col(dim, n_bits, seed + 1000003 * t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    tabs = base.select("vec_id", F.explode(tb).alias("tb")).select(
+        F.col("tb.tbl").alias("tbl"), "vec_id", F.col("tb.bucket").alias("bucket")
+    )
     if max_bucket is not None:
         # oversized buckets are a tiny set -> broadcast left_anti (the full
         # bucket table never shuffles for the cap)

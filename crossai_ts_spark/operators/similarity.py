@@ -47,13 +47,12 @@ def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
     return rng.normal(0, 1, size=(n_bits, dim)).tolist()
 
 
-def lsh_bucket(df: DataFrame, dim: int, n_bits: int = 8, seed: int = 42,
-               vec: str = "embedding") -> DataFrame:
-    """Random-hyperplane signature: bucket = sum_i (dot(v, h_i) > 0) << i.
-
-    Hyperplanes ship as literal arrays inside the plan (broadcast by value);
-    each bit is one JVM-side fold — no Python.
-    """
+def lsh_bucket_col(dim: int, n_bits: int = 8, seed: int = 42, vec: str = "embedding"):
+    """Random-hyperplane signature as a Column:
+    bucket = sum_i (dot(v, h_i) > 0) << i. Hyperplanes ship as literal
+    arrays inside the plan (broadcast by value); each bit is one JVM-side
+    fold — no Python. Column form so multi-table callers can compute every
+    table's bucket in ONE projection over ONE scan."""
     planes = _hyperplanes(dim, n_bits, seed)
     bucket = None
 
@@ -75,7 +74,13 @@ def lsh_bucket(df: DataFrame, dim: int, n_bits: int = 8, seed: int = 42,
             F.lit(0).cast("long")
         )
         bucket = bit if bucket is None else bucket + bit
-    return df.withColumn("bucket", bucket)
+    return bucket
+
+
+def lsh_bucket(df: DataFrame, dim: int, n_bits: int = 8, seed: int = 42,
+               vec: str = "embedding") -> DataFrame:
+    """Random-hyperplane bucketing of a DataFrame (see lsh_bucket_col)."""
+    return df.withColumn("bucket", lsh_bucket_col(dim, n_bits, seed, vec))
 
 
 def ivf_centroids(corpus: DataFrame, n_cent: int, vec: str = "embedding") -> list[list[float]]:
