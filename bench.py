@@ -66,6 +66,8 @@ HEADLINE_QUERIES = [
     "bm25_scores",
     "gopher_rules",
     "sequence_packing",
+    "tpch_q3_exact",
+    "tpch_q5_exact",
 ]
 
 

@@ -820,6 +820,57 @@ def _li(spark, sf_dir):
 
 
 @q(
+    "tpch_q5_exact",
+    """
+WITH li AS (
+  SELECT l_suppkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p_c,
+         CAST(round(l_discount * 100) AS BIGINT) AS d_c
+  FROM lineitem
+)
+SELECT n.n_name,
+       SUM(l.p_c * (100 - l.d_c))::BIGINT AS revenue_cents2,
+       COUNT(*)::BIGINT AS n_items
+FROM li l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY revenue_cents2 DESC, n_name ASC
+""",
+)
+def tpch_q5_exact(spark, sf_dir):
+    """TPC-H Q5 shape (local-supplier revenue by nation): the fact table
+    joins a CHAIN of small dims — supplier -> nation -> region — every one
+    broadcast, so the only shuffle is the final per-nation aggregate
+    (map-side combined). Exact cents-integer revenue; deterministic
+    ordering."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p_c"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d_c"),
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    dims = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(F.broadcast(dims), li["l_suppkey"] == dims["s_suppkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("p_c") * (100 - F.col("d_c"))).alias("revenue_cents2"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue_cents2"), F.asc("n_name"))
+    )
+
+
+@q(
     "stats_composite",
     SQL_LI
     + """
@@ -1062,6 +1113,63 @@ def tpch_q1_exact(spark, sf_dir):
         F.sum(F.col("p_c") * (100 - F.col("d_c")) * (100 + F.col("t_c"))).alias("sum_charge_cents3"),
         (F.sum("q").cast("double") / F.count("*").cast("double")).alias("avg_qty"),
         F.count("*").alias("count_order"),
+    )
+
+
+@q(
+    "tpch_q3_exact",
+    SQL_LI
+    + """
+, rev AS (
+  SELECT l.l_orderkey,
+         epoch_us(o.o_orderdate) AS o_date_us,
+         o.o_orderpriority,
+         SUM(l.p_c * (100 - l.d_c))::BIGINT AS revenue_cents2
+  FROM li l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2, 3
+)
+SELECT l_orderkey, o_date_us, o_orderpriority, revenue_cents2
+FROM rev
+ORDER BY revenue_cents2 DESC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def tpch_q3_exact(spark, sf_dir):
+    """TPC-H Q3 shape (shipping-priority top-k) in exact cents integers:
+    lineitem joins orders on the shuffle key, the filtered BUILDING
+    customer dim joins by BROADCAST (the small-dim plan a 100 TB fact
+    table needs), revenue = sum(p_c * (100 - d_c)) exact, deterministic
+    top-10 via (revenue desc, orderkey) tie-break."""
+    li = _li(spark, sf_dir).filter(
+        F.col("l_shipdate").cast("timestamp") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("timestamp") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    epoch = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == F.col("c_custkey"))
+    )
+    return (
+        j.groupBy(
+            "l_orderkey",
+            F.expr(epoch.format(c="o_orderdate")).alias("o_date_us"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(F.col("p_c") * (100 - F.col("d_c"))).alias("revenue_cents2"))
+        .orderBy(F.desc("revenue_cents2"), F.asc("l_orderkey"))
+        .limit(10)
     )
 
 
