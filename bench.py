@@ -68,6 +68,7 @@ HEADLINE_QUERIES = [
     "sequence_packing",
     "tpch_q3_exact",
     "tpch_q5_exact",
+    "source_mixing_weights",
 ]
 
 

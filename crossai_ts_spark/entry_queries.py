@@ -4395,6 +4395,52 @@ def sequence_packing(spark, sf_dir):
 
 
 @q(
+    "source_mixing_weights",
+    """
+WITH s AS (
+  SELECT source, COUNT(*)::BIGINT AS n_docs,
+         SUM(length(text))::BIGINT AS n_tokens
+  FROM documents WHERE length(text) > 0 GROUP BY source
+), p AS (
+  SELECT source, n_docs, n_tokens,
+         floor(pow(n_tokens::DOUBLE, CAST(0.7 AS DOUBLE)) * 1048576.0)::BIGINT AS w_q
+  FROM s
+)
+SELECT source, n_docs, n_tokens, w_q,
+       w_q::DOUBLE / (SELECT SUM(w_q) FROM p)::DOUBLE AS mix_weight
+FROM p
+""",
+)
+def source_mixing_weights(spark, sf_dir):
+    """Temperature-based source mixing (the public CC100/XLM-R multinomial
+    sampling recipe): per-source weight proportional to n_tokens^alpha
+    (alpha=0.7), upweighting low-resource shards. pow() is transcendental,
+    so each weight is floor(x*2^20)-quantized BEFORE normalizing (the
+    lm_perplexity precedent); the normalizer is an exact integer sum
+    broadcast back. One map-side-combined groupBy — no other shuffle."""
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("n_tokens"),
+    )
+    p = s.withColumn(
+        "w_q",
+        F.floor(
+            F.pow(F.col("n_tokens").cast("double"), F.expr("cast(0.7 as double)"))
+            * F.lit(1048576.0)
+        ).cast("long"),
+    )
+    tot = p.agg(F.sum("w_q").alias("_tot"))
+    return p.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "w_q",
+        (F.col("w_q").cast("double") / F.col("_tot").cast("double")).alias("mix_weight"),
+    )
+
+
+@q(
     "gopher_rules",
     """
 WITH base AS (

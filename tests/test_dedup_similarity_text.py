@@ -861,3 +861,27 @@ def test_sequence_packing_semantics(spark):
         .toPandas().set_index("doc_id")
     )
     assert out13.sort_index().equals(out.sort_index())
+
+
+def test_source_mixing_weights_semantics(spark):
+    import math
+
+    from crossai_ts_spark.entry_queries import REGISTRY
+    import tempfile, os
+
+    rows = [
+        (1, "x" * 1000, "en", "big"),
+        (2, "y" * 1000, "en", "big"),
+        (3, "z" * 100, "en", "small"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = REGISTRY["source_mixing_weights"][0](spark, d).toPandas().set_index("source")
+    wb = math.floor(2000**0.7 * 1048576.0)
+    ws = math.floor(100**0.7 * 1048576.0)
+    assert out.loc["big", "w_q"] == wb and out.loc["small", "w_q"] == ws
+    assert abs(out.mix_weight.sum() - 1.0) < 1e-12
+    # temperature upweights the small shard relative to raw token share
+    raw_small = 100 / 2100
+    assert out.loc["small", "mix_weight"] > raw_small
