@@ -69,6 +69,7 @@ HEADLINE_QUERIES = [
     "tpch_q3_exact",
     "tpch_q5_exact",
     "source_mixing_weights",
+    "rollup_histogram",
 ]
 
 

@@ -4394,6 +4394,50 @@ def sequence_packing(spark, sf_dir):
     return pack_sequences(docs, seq_len=512, by="source")
 
 
+def _hist_sql(w: int = 32, nb: int = 16, vmax: int = 1104) -> str:
+    folds = ",\n         ".join(
+        f"list_reduce(list_prepend(0::BIGINT, list_transform(toks[wi*{w}+1 : wi*{w}+{w}], "
+        f"t -> CASE WHEN least((t * {nb}) // {vmax}, {nb - 1}) = {b} THEN 1 ELSE 0 END::BIGINT)), "
+        f"(a, c) -> a + c) AS b{b}"
+        for b in range(nb)
+    )
+    arr = "[" + ", ".join(f"b{b}" for b in range(nb)) + "]"
+    total = " + ".join(f"b{b}" for b in range(nb))
+    return (
+        SQL_TOKLIST
+        + f"""
+, sp AS (
+  SELECT doc_id, toks, unnest(range(0, cast(ceil(n / {float(w)!r}) AS INT))) AS wi
+  FROM tok
+), hw AS (
+  SELECT doc_id, (wi * {w})::BIGINT AS window_start,
+         {folds}
+  FROM sp
+), tot AS (
+  SELECT *, ({total})::BIGINT AS total FROM hw
+)
+SELECT *, len(list_filter(list_transform(range(0, {nb}),
+         i -> list_reduce(list_prepend(0::BIGINT, ({arr})[1:i+1]), (a, c) -> a + c)),
+         cum -> cum * 2 < total))::BIGINT AS median_bucket
+FROM tot
+"""
+    )
+
+
+@q("rollup_histogram", _hist_sql(32, 16, 128))
+def rollup_histogram_q(spark, sf_dir):
+    """Mergeable fixed-boundary histogram rollup (operators/rollup.py
+    rollup_histogram): per 32-token window, exact counts in 16 equal-width
+    value buckets over the ASCII band + window total + median bucket — the continuous
+    aggregate that gives approximate quantiles at any retention tier
+    (fixed-boundary histograms re-aggregate exactly; the tier identity is
+    pytest-verified in histogram_merge)."""
+    from .operators.rollup import rollup_histogram
+
+    seqs = tokenize_documents(load(spark, sf_dir, "documents"))
+    return rollup_histogram(seqs, w=32, n_buckets=16, vmax=128)
+
+
 @q(
     "source_mixing_weights",
     """

@@ -307,3 +307,73 @@ def cascade(df: DataFrame, strategy: Strategy = "native", **kw) -> DataFrame:
     if strategy == "pandas":
         return cascade_pandas(df, **kw)
     raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def rollup_histogram(
+    df: DataFrame, w: int = DEFAULT_W, n_buckets: int = 16, vmax: int = 1104
+) -> DataFrame:
+    """Mergeable fixed-boundary histogram rollup: per tumbling window of
+    ``w`` tokens, the count in each of ``n_buckets`` equal-width value
+    buckets over [0, vmax) — the continuous-aggregate companion to
+    min/max/sum/count that supports approximate quantiles AT ANY TIER,
+    because fixed-boundary histograms re-aggregate exactly (tier k+1 =
+    elementwise sum of children; see :func:`histogram_merge`).
+
+    Same narrow shape as rollup_native: one HOF spine per row, one
+    explode, raw tokens never shuffle. Integer-exact in any engine
+    (bucket = least(tok*n_buckets div vmax, n_buckets-1)). Output:
+    (doc_id, window_start, b0..b{n-1}, total, median_bucket) where
+    median_bucket is the first bucket whose cumulative count reaches
+    half the window total.
+    """
+    folds = ", ".join(
+        f"'b{b}', aggregate(slice(tokens, wi * {w} + 1, {w}), cast(0 as bigint), "
+        f"(a, t) -> a + CASE WHEN least((t * {n_buckets}) div {vmax}, {n_buckets - 1}) = {b} "
+        f"THEN 1 ELSE 0 END)"
+        for b in range(n_buckets)
+    )
+    spine = (
+        f"transform(sequence(0, cast(ceil(n_tok / cast({w} as double)) as int) - 1), "
+        f"wi -> named_struct('window_start', cast(wi as bigint) * {w}, {folds}))"
+    )
+    out = (
+        df.filter(F.col("n_tok") > 0)
+        .withColumn("_h", F.expr(spine))
+        .select("doc_id", F.explode("_h").alias("hw"))
+        .select("doc_id", F.col("hw.window_start").alias("window_start"),
+                *[F.col(f"hw.b{b}").alias(f"b{b}") for b in range(n_buckets)])
+    )
+    arr = "array(" + ", ".join(f"b{b}" for b in range(n_buckets)) + ")"
+    total = " + ".join(f"b{b}" for b in range(n_buckets))
+    med = (
+        f"size(filter(transform(sequence(0, {n_buckets - 1}), "
+        f"i -> aggregate(slice({arr}, 1, i + 1), cast(0 as bigint), (a, c) -> a + c)), "
+        f"cum -> cum * 2 < total))"
+    )
+    return (
+        out.withColumn("total", F.expr(total).cast("long"))
+        .withColumn("median_bucket", F.expr(med).cast("long"))
+    )
+
+
+def histogram_merge(
+    t1: DataFrame, w: int, fanout: int, n_buckets: int = 16
+) -> DataFrame:
+    """Tier k+1 histograms from tier k rows: elementwise bucket-count sums
+    per parent window — the exact re-aggregation identity (equals
+    rollup_histogram run directly on raw at width w*fanout; tested)."""
+    width2 = w * fanout
+    ws2 = (F.col("window_start") - F.col("window_start") % width2).alias("window_start")
+    agg = [F.sum(f"b{b}").alias(f"b{b}") for b in range(n_buckets)]
+    out = t1.groupBy("doc_id", ws2).agg(*agg)
+    arr = "array(" + ", ".join(f"b{b}" for b in range(n_buckets)) + ")"
+    total = " + ".join(f"b{b}" for b in range(n_buckets))
+    med = (
+        f"size(filter(transform(sequence(0, {n_buckets - 1}), "
+        f"i -> aggregate(slice({arr}, 1, i + 1), cast(0 as bigint), (a, c) -> a + c)), "
+        f"cum -> cum * 2 < total))"
+    )
+    return (
+        out.withColumn("total", F.expr(total).cast("long"))
+        .withColumn("median_bucket", F.expr(med).cast("long"))
+    )

@@ -101,3 +101,59 @@ def test_full_windows_only_filter(spark, tiny_df):
     cnt = got.groupby("doc_id").size()
     assert "doc-bnd-0001" not in cnt.index  # n=63: no full window
     assert cnt["doc-bnd-0003"] == 1  # tail dropped
+
+
+def test_rollup_histogram_counts_and_median(spark):
+    import numpy as np
+
+    from crossai_ts_spark.operators.rollup import histogram_merge, rollup_histogram
+
+    rng = np.random.default_rng(9)
+    toks = rng.integers(0, 1104, size=100, dtype=np.int32)
+    df = spark.createDataFrame(
+        [("d0", [int(t) for t in toks], 100, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    w, nb, vmax = 32, 16, 1104
+    got = rollup_histogram(df, w=w, n_buckets=nb, vmax=vmax).toPandas().set_index("window_start")
+    assert sorted(got.index) == [0, 32, 64, 96]
+    for ws in (0, 32, 64, 96):
+        seg = toks[ws : ws + w]
+        buckets = np.minimum(seg.astype(np.int64) * nb // vmax, nb - 1)
+        counts = np.bincount(buckets, minlength=nb)
+        assert [got.loc[ws, f"b{b}"] for b in range(nb)] == counts.tolist()
+        assert got.loc[ws, "total"] == len(seg)
+        # median_bucket = first bucket whose cumulative count reaches half
+        cum = np.cumsum(counts)
+        expect = int(np.argmax(cum * 2 >= len(seg)))
+        assert got.loc[ws, "median_bucket"] == expect
+
+
+def test_histogram_merge_equals_direct(spark):
+    """Tier-2 histograms merged from tier-1 equal histograms computed
+    directly from raw at the wider width — the exact re-aggregation
+    identity that makes the sketch valid at every retention tier."""
+    import numpy as np
+    import pandas as pd
+
+    from crossai_ts_spark.operators.rollup import histogram_merge, rollup_histogram
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i, n in enumerate([257, 64, 100, 31]):
+        toks = rng.integers(0, 1104, size=n, dtype=np.int32)
+        rows.append((f"d{i}", [int(t) for t in toks], n, "s"))
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    w, fanout = 16, 4
+    t1 = rollup_histogram(df, w=w)
+    merged = (
+        histogram_merge(t1.drop("total", "median_bucket"), w=w, fanout=fanout)
+        .toPandas().sort_values(["doc_id", "window_start"]).reset_index(drop=True)
+    )
+    direct = (
+        rollup_histogram(df, w=w * fanout)
+        .toPandas().sort_values(["doc_id", "window_start"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(merged, direct[merged.columns], check_dtype=False)
