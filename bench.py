@@ -166,6 +166,11 @@ def main() -> int:
         "wall_sec": round(rollup["wall_sec"], 2),
         "tokens_per_sec": round(rollup["tokens_per_sec"], 1),
     }
+    # any -1.0 trial = a crashed trial (even if an earlier trial of the
+    # same query succeeded): flaky-or-broken queries must stay visible in
+    # the compact stdout record the driver captures, not only in the
+    # trials file artifact
+    flaky = sorted(n for n, ts in q_trials.items() if any(t < 0 for t in ts))
     out = {
         "metric": "rollup tokens/sec (3-tier cascade) + headline query min secs",
         "value": round(rollup["tokens_per_sec"], 1),
@@ -173,6 +178,8 @@ def main() -> int:
         "queries": q_secs,
         "sf": sf,
         "rollup": rollup_compact,
+        "n_failed": len(flaky),
+        "failed": flaky,
     }
     full = dict(out)
     full["query_trials"] = q_trials
@@ -186,9 +193,21 @@ def main() -> int:
     except OSError as ex:
         print(f"[bench] could not write trials artifact: {ex}", file=sys.stderr)
     line = json.dumps(out)
-    if len(line) > 1900:  # belt-and-braces: never overflow the capture again
-        out["queries"] = {k: v for k, v in sorted(q_secs.items(), key=lambda kv: -kv[1])[:25]}
+    if len(line) > 1500:  # belt-and-braces: never overflow the capture again
+        # keep every failure (-1.0) plus the slowest successes — a flaky
+        # query must never be squeezed out of the compact record
+        kept = {k: v for k, v in q_secs.items() if v < 0}
+        for k, v in sorted(q_secs.items(), key=lambda kv: -kv[1]):
+            if len(kept) >= 25:
+                break
+            kept.setdefault(k, v)
+        out["queries"] = kept
         line = json.dumps(out)
+        while len(line) >= 1500 and any(v >= 0 for v in kept.values()):
+            # drop fastest kept success until the record fits; failures stay
+            del kept[min((k for k in kept if kept[k] >= 0), key=lambda k: kept[k])]
+            line = json.dumps(out)
+    assert len(line) < 1500, f"bench stdout record too long ({len(line)} chars)"
     print(line)
     return 0
 

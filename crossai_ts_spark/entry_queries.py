@@ -2129,10 +2129,13 @@ SQL_SPEARMAN = (
            + COUNT(*) OVER (PARTITION BY l_returnflag, d_c) - 1 AS ry
   FROM li
 ), s AS (
+  -- HUGEINT sums: the squared-rank sums scale ~4n^3/3 and pass int64 at
+  -- ~1.9e6 rows/group; Spark mirrors with decimal(38,0) so both engines
+  -- keep EXACT integers at any group size before the double combination
   SELECT l_returnflag, COUNT(*)::BIGINT AS n,
-         SUM(rx)::BIGINT AS sx, SUM(rx * rx)::BIGINT AS sxx,
-         SUM(ry)::BIGINT AS sy, SUM(ry * ry)::BIGINT AS syy,
-         SUM(rx * ry)::BIGINT AS sxy
+         SUM(rx::HUGEINT) AS sx, SUM(rx::HUGEINT * rx::HUGEINT) AS sxx,
+         SUM(ry::HUGEINT) AS sy, SUM(ry::HUGEINT * ry::HUGEINT) AS syy,
+         SUM(rx::HUGEINT * ry::HUGEINT) AS sxy
   FROM r GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
@@ -2150,10 +2153,13 @@ def spearman_correlation(spark, sf_dir):
     """Spearman rank correlation (caits/eda/correlation.py:35-65, the
     method='spearman' branch): average-rank ties via the integer identity
     2*avg_rank = 2*rank() + (n_ties - 1) — Pearson is scale-invariant, so
-    doubled ranks give the identical coefficient from EXACT integer sums;
-    the final coefficient uses the mean-based double form (identical op
-    order in both engines) because the n*sxy-sx*sy integer form overflows
-    int64 once a group passes ~5e5 rows."""
+    doubled ranks give the identical coefficient from EXACT integer sums.
+    The rank-moment sums scale ~4n^3/3, past int64 at ~1.9e6 rows/group
+    (and Spark non-ANSI would WRAP silently where DuckDB promotes to
+    HUGEINT), so both engines sum in wide exact integers — decimal(38,0)
+    here, HUGEINT in the oracle: exact to n ~ 3e12 rows/group, far past
+    the design point. The final coefficient then uses the mean-based
+    double form with identical op order in both engines."""
     li = _li(spark, sf_dir)
     rx = (
         2 * F.rank().over(Window.partitionBy("l_returnflag").orderBy("q"))
@@ -2166,17 +2172,20 @@ def spearman_correlation(spark, sf_dir):
         - 1
     ).cast("long")
     r = li.select("l_returnflag", rx.alias("rx"), ry.alias("ry"))
+    # decimal(38,0) moments: exact integer sums (order-independent, so
+    # hash-stable) with ~1e38 headroom vs int64's silent non-ANSI wrap at
+    # ~1.9e6 rows/group; mirrors the oracle's HUGEINT promotion
+    rxd = F.col("rx").cast("decimal(19,0)")
+    ryd = F.col("ry").cast("decimal(19,0)")
     s = r.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum("rx").alias("sx"),
-        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
-        F.sum("ry").alias("sy"),
-        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
-        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(rxd).alias("sx"),
+        F.sum(rxd * rxd).alias("sxx"),
+        F.sum(ryd).alias("sy"),
+        F.sum(ryd * ryd).alias("syy"),
+        F.sum(rxd * ryd).alias("sxy"),
     )
-    # mean-based double form, operation-for-operation the oracle's: the
-    # n*sxy-sx*sy integer form overflows int64 once groups pass ~5e5 rows
-    # (rank sums scale with n^3) — hit for real at sf0.1
+    # mean-based double form, operation-for-operation the oracle's
     nd = F.col("n").cast("double")
     mx = F.col("sx").cast("double") / nd
     my = F.col("sy").cast("double") / nd

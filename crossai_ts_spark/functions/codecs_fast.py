@@ -277,7 +277,8 @@ def dod_decode_fast(blob: bytes) -> np.ndarray:
     delta0 = np.uint64(read_u64(128))
     n_dod = n - 2
     if n_dod == 0:
-        out[1] = (out[0].astype(np.uint64) + delta0).astype(np.int64)
+        with np.errstate(over="ignore"):  # intentional mod-2^64 wraparound
+            out[1] = (out[0].astype(np.uint64) + delta0).astype(np.int64)
         return out
     body = 192  # bit offset where dod fields start
     # local field length at every bit position, from its first <=4 bits
@@ -322,10 +323,13 @@ def dod_decode_fast(blob: bytes) -> np.ndarray:
     if m4.any():
         dd[m4] = gather(m4, 4, 64)  # int64 view == mod-2^64 semantics
     # reconstruct: deltas = delta0 + cumsum(dd) (mod 2^64), offsets = cumsum
+    # — the uint64 wraparound IS the codec's two's-complement semantics,
+    # so silence numpy's overflow warning for these adds only
     deltas = np.empty(n - 1, dtype=np.uint64)
     deltas[0] = delta0
-    deltas[1:] = delta0 + np.cumsum(dd.view(np.uint64))
-    out_u = out[0].astype(np.uint64) + np.cumsum(deltas)
+    with np.errstate(over="ignore"):
+        deltas[1:] = delta0 + np.cumsum(dd.view(np.uint64))
+        out_u = out[0].astype(np.uint64) + np.cumsum(deltas)
     out[1:] = out_u.view(np.int64)
     return out
 

@@ -146,18 +146,27 @@ def real_decoder(payload: bytes, kind: str) -> np.ndarray:
     )
 
 
-def auto_decoder(payload: bytes, kind: str) -> np.ndarray:
+def auto_decoder(payload: bytes, kind: str, strict: bool = False) -> np.ndarray:
     """real_decoder when the kind's library can handle this payload,
     fake_decoder otherwise — the decode path upgrades itself on a
     fully-provisioned image.
 
     The stdlib-audio path only claims RIFF/WAVE payloads (sniffed by
     magic); non-WAV audio bytes without soundfile fall back to the fake,
-    so synthetic digest payloads keep working unchanged."""
+    so synthetic digest payloads keep working unchanged. A payload that
+    LOOKS decodable but isn't (b'RIFF' prefix on an AVI container, a
+    truncated WAV, corrupt image bytes) also falls back rather than
+    killing the whole Spark task/batch; pass strict=True to re-raise
+    decode errors instead (debugging a decode regression)."""
     if kind == "audio" and _SOUNDFILE is None and payload[:4] != b"RIFF":
         return fake_decoder(payload, kind)
     if has_real_decoder(kind):
-        return real_decoder(payload, kind)
+        try:
+            return real_decoder(payload, kind)
+        except Exception:
+            if strict:
+                raise
+            return fake_decoder(payload, kind)
     return fake_decoder(payload, kind)
 
 

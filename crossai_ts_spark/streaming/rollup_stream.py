@@ -220,8 +220,14 @@ def streaming_packing(stream: DataFrame, seq_len: int = 2048, by: str = "source"
         (shard,) = key
         off = state.get[0] if state.exists else 0
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("doc_id")
+        # applyInPandasWithState delivers one trigger's group data as
+        # MULTIPLE Arrow chunks once it exceeds maxRecordsPerBatch, so the
+        # doc_id sort must be global over the trigger, not per-chunk —
+        # materialize first, sort once (chunk-boundary parity is tested
+        # with maxRecordsPerBatch=16)
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
             for doc_id, n_tok in zip(pdf["doc_id"], pdf["n_tok"]):
                 n = int(n_tok)
                 if n <= 0:

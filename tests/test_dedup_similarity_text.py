@@ -885,3 +885,27 @@ def test_source_mixing_weights_semantics(spark):
     # temperature upweights the small shard relative to raw token share
     raw_small = 100 / 2100
     assert out.loc["small", "mix_weight"] > raw_small
+
+
+def test_auto_decoder_corrupt_riff_falls_back():
+    """A payload that SNIFFS as RIFF but is not a parseable WAV (an AVI
+    container, a truncated WAV) must fall back to the deterministic fake
+    instead of raising wave.Error inside a Spark task; strict=True opts
+    back into the raise for decode-regression debugging."""
+    import pytest
+
+    from crossai_ts_spark.operators.multimodal import (
+        _SOUNDFILE,
+        auto_decoder,
+        fake_decoder,
+    )
+
+    if _SOUNDFILE is not None:  # pragma: no cover - provisioned image
+        pytest.skip("soundfile present: stdlib RIFF sniff path not in play")
+    avi = b"RIFF" + (1000).to_bytes(4, "little") + b"AVI LIST" + b"\x00" * 64
+    truncated = b"RIFF\x24\x00\x00\x00WAVE"
+    for payload in (avi, truncated):
+        got = auto_decoder(payload, "audio")
+        assert (got == fake_decoder(payload, "audio")).all()
+        with pytest.raises(Exception):
+            auto_decoder(payload, "audio", strict=True)

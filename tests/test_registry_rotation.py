@@ -51,3 +51,24 @@ def test_rotation_survives_missing_artifacts(tmp_path, monkeypatch):
     from crossai_ts_spark.entry_queries import REGISTRY
 
     assert list(e.queries()) == list(REGISTRY)
+
+
+def test_no_query_exceeds_two_round_staleness():
+    """The driver checks the first ~50 of queries() per round; with the
+    registry growing past 100 the invariant that matters is: every query
+    whose latest driver row predates the previous round sits INSIDE the
+    first 50, so max staleness stays bounded at 2 rounds. Guards against
+    a registry growth spurt silently pushing a query past that."""
+    e = _entry()
+    last = e._last_checked()
+    if not last:
+        return  # fresh clone without artifacts: nothing to bound
+    current_round = max(last.values()) + 1
+    names = list(e.queries())
+    head = set(names[:50])
+    overdue = [n for n in names if last.get(n, 0) < current_round - 1]
+    missed = [n for n in overdue if n not in head]
+    assert not missed, (
+        f"{len(missed)} queries older than round {current_round - 1} fall "
+        f"outside the 50-query driver window: {missed[:10]}"
+    )

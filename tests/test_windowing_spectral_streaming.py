@@ -430,3 +430,39 @@ def test_streaming_packing_matches_batch(spark, tmp_path):
     # cross-batch cursor: a03 starts at 600 (after a01+a02), straddling
     a03 = got.set_index("doc_id").loc["a03"]
     assert a03.cum_start == 600 and a03.pack_id == 1 and bool(a03.spans_packs)
+
+
+def test_streaming_packing_multi_chunk_trigger(spark, tmp_path):
+    """A single trigger whose group data exceeds arrow maxRecordsPerBatch
+    arrives as MULTIPLE pandas chunks — the doc_id sort must be global
+    over the trigger, not per-chunk (the offsets would otherwise follow
+    chunk order). Rows are written in REVERSED doc_id order so any
+    per-chunk sort provably diverges from the global one."""
+    import pandas as pd
+
+    from crossai_ts_spark.operators.packing import pack_sequences
+    from crossai_ts_spark.streaming.rollup_stream import run_to_memory, streaming_packing
+
+    schema = "doc_id string, source string, n_tok long"
+    rows = [(f"d{i:04d}", "s1", 37 + (i * 13) % 100) for i in range(200)]
+    in_dir = tmp_path / "pack_chunks"
+    spark.createDataFrame(list(reversed(rows)), schema).coalesce(1).write.parquet(
+        str(in_dir / "b0")
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        stream = spark.readStream.schema(schema).parquet(str(in_dir) + "/*")
+        run_to_memory(streaming_packing(stream, seq_len=256), "pack_chunk_out")
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = (
+        spark.sql("SELECT * FROM pack_chunk_out")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    batch = (
+        pack_sequences(spark.createDataFrame(rows, schema), seq_len=256)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) == 200
+    pd.testing.assert_frame_equal(got[batch.columns], batch, check_dtype=False)
