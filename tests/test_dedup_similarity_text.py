@@ -863,6 +863,49 @@ def test_sequence_packing_semantics(spark):
     assert out13.sort_index().equals(out.sort_index())
 
 
+def test_packing_two_phase_equals_global_and_bounds_hot_shard(spark):
+    """The two-phase bucketed cumsum is bitwise the one-window plan (the
+    global prefix sum is invariant to where the contiguous cuts fall), and
+    a Zipf-hot shard (one source = 50% of docs) spreads across many
+    buckets instead of serializing on one task."""
+    import math
+
+    from crossai_ts_spark.operators.packing import (
+        _bucketed_cumsum,
+        _pack_sequences_global,
+        pack_sequences,
+    )
+
+    n = 4000
+    rows = [
+        (f"d{i:05d}", "hot" if i % 2 == 0 else f"s{i % 7}", 17 + (i * 37) % 400)
+        for i in range(n)
+    ]
+    seqs = spark.createDataFrame(rows, "doc_id string, source string, n_tok long")
+    cols = ["doc_id", "source", "n_tok", "cum_start", "pack_id", "pack_off",
+            "spans_packs", "n_packs_touched"]
+    got = (
+        pack_sequences(seqs, seq_len=512, n_buckets=64)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)[cols]
+    )
+    want = (
+        _pack_sequences_global(seqs, seq_len=512)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)[cols]
+    )
+    assert got.equals(want)
+
+    # hot-shard boundedness: no (shard, bucket) group — i.e. no single
+    # window task input — holds more than a few range-partitions' worth
+    bk = _bucketed_cumsum(seqs, "source", 64)
+    per = bk.groupBy("source", "_bucket").count().toPandas()
+    hot = per[per.source == "hot"]
+    assert len(hot) >= 16, f"hot shard landed in only {len(hot)} buckets"
+    cap = 3 * math.ceil(n / 64)
+    assert per["count"].max() <= cap, (
+        f"a (shard,bucket) group holds {per['count'].max()} rows (cap {cap})"
+    )
+
+
 def test_source_mixing_weights_semantics(spark):
     import math
 
