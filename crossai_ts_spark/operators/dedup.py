@@ -355,16 +355,26 @@ def duplicated_spans(
     which is single-node): stride-1 window hashing is LINEAR in corpus
     token count — one explode (no pairing, so a boilerplate window shared
     by d docs costs d rows, never d^2), one map-side-combined groupBy on
-    the window hash, one semi join back (keep_first adds a row_number
-    over the already-restricted duplicated rows only), one per-doc
-    ordered window for the interval merge. No O(n^2) stage exists to cap.
+    the window hash, one semi join back (keep_first adds a min-struct
+    aggregate + anti join — hot-key-flat even when one window hash has
+    10^8 occurrences; no per-hash sort anywhere), one per-doc ordered
+    window for the interval merge. No O(n^2) stage exists to cap.
     """
     wins = _windows(docs, w, text)
     dup = wins.groupBy("h").agg(F.count("*").alias("_c")).filter(F.col("_c") > 1).select("h")
     dw = wins.join(dup, "h", "semi")
     if keep_first:
-        wcan = Window.partitionBy("h").orderBy("doc_id", "off")
-        dw = dw.withColumn("_rn", F.row_number().over(wcan)).filter(F.col("_rn") > 1)
+        # canonical occurrence = (doc_id, off)-smallest, via a min-struct
+        # aggregate (lexicographic struct ordering == ORDER BY doc_id, off)
+        # + anti join — NOT row_number over partitionBy(h): a boilerplate
+        # window shared by 10^8 docs would sort its whole occurrence list
+        # on one task, while min() stays map-side-combined and hot-key-flat
+        canon = (
+            dw.groupBy("h")
+            .agg(F.min(F.struct("doc_id", "off")).alias("c"))
+            .select("h", F.col("c.doc_id").alias("doc_id"), F.col("c.off").alias("off"))
+        )
+        dw = dw.join(canon, ["h", "doc_id", "off"], "left_anti")
     dw = dw.select("doc_id", "off")
     wspec = Window.partitionBy("doc_id").orderBy("off")
     prev_end = F.max(F.col("off") + w).over(wspec.rowsBetween(Window.unboundedPreceding, -1))

@@ -640,6 +640,39 @@ def test_substring_dedup_hot_window_stays_linear(spark):
     from crossai_ts_spark.operators.dedup import _h64  # noqa: F401  (hash idiom)
 
 
+def test_keepfirst_mega_boilerplate_no_per_hash_sort(spark):
+    """keep_first on a window hash occurring in EVERY doc (the
+    mega-boilerplate case): exactly one canonical occurrence — the
+    (doc_id, off)-smallest — survives, and the plan contains no
+    row_number window over the hash (which would sort the whole 10^8-
+    occurrence list on one task at scale); the canonical pick is a
+    map-side-combined min-struct aggregate + anti join."""
+    import hashlib
+
+    from crossai_ts_spark.operators.dedup import duplicated_spans
+
+    def gibberish(i):
+        return (
+            hashlib.md5(f"a{i}".encode()).hexdigest()
+            + hashlib.md5(f"b{i}".encode()).hexdigest()
+        )
+
+    boiler = "Y" * 25
+    n = 300
+    rows = [(i, gibberish(i)[:6] + boiler, "en", "t") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    spans = duplicated_spans(docs, w=25, keep_first=True)
+    plan = spans._jdf.queryExecution().executedPlan().toString() if False else \
+        spans._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" not in plan.lower(), "keep_first must not sort per hash"
+    got = spans.toPandas()
+    # every doc except the canonical one (doc_id '0' sorts smallest as
+    # string among 0..299... careful: string order) keeps its span removed
+    canon = min((str(i) for i in range(n)))
+    assert canon not in set(got.doc_id)
+    assert len(got) == n - 1  # one merged span per non-canonical doc
+
+
 def test_connected_components_check_every(spark):
     """Probing convergence every k rounds must not change the fixpoint."""
     from crossai_ts_spark.operators.dedup import connected_components
