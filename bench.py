@@ -70,6 +70,8 @@ HEADLINE_QUERIES = [
     "tpch_q5_exact",
     "source_mixing_weights",
     "rollup_histogram",
+    # round-5 additions
+    "pcen_exact",
 ]
 
 

@@ -3385,42 +3385,51 @@ def hashlib_md5_u32(doc_id: str) -> int:
     return int(hashlib.md5(f"{doc_id}:tw".encode()).hexdigest()[:8], 16)
 
 
-@q("pcen_hpss", None)
-def pcen_hpss(spark, sf_dir):
-    """PCEN (caits/fe/_pcen.py) + HPSS (caits/hpss.py) composite per doc —
-    FFT/median kernels, rows-only; numpy-verified in tests/test_dsp2.py."""
-    import pandas as pd
+def _pcen_chk_sql(s: float = 0.1, eps: float = 1e-6, delta: float = 2.0,
+                  quantize: float = 1048576.0) -> str:
+    """DuckDB expression folding functions/dsp2.pcen_docs' exact recursion:
+    first-order IIR smoother + sqrt-form DRC (alpha=1, r=1/2 — division
+    and sqrt are correctly rounded, so same literals + same op order =
+    bitwise-equal doubles), accumulating sum(floor(v*Q)). List accumulator
+    [M, chk] for the same struct-mutation reason as _sosfilt_chk_sql."""
 
-    from .functions.dsp import melspectrogram
-    from .functions.dsp2 import hpss_signal, pcen_base
+    def lit(v: float) -> str:
+        return f"'{float(v)!r}'::DOUBLE"
+
+    m_new = f"({lit(1.0 - s)} * acc[1] + {lit(s)} * e[1])"
+    v = f"(sqrt(e[1] / ({lit(eps)} + {m_new}) + {lit(delta)}) - sqrt({lit(delta)}))"
+    return (
+        "(list_reduce(list_prepend([0.0::DOUBLE, 0.0::DOUBLE], "
+        "list_transform(toks, t -> [t::DOUBLE, 0.0::DOUBLE])), "
+        f"(acc, e) -> [{m_new}, acc[2] + floor({v} * {lit(quantize)})]))[2]::BIGINT"
+    )
+
+
+SQL_PCEN = f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(range(1, length(text) + 1), i -> unicode(text[i])) AS toks
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, {_pcen_chk_sql()} AS pcen_chk
+FROM tok
+"""
+
+
+@q("pcen_exact", SQL_PCEN)
+def pcen_exact(spark, sf_dir):
+    """PCEN with a FULL oracle (caits/fe/_pcen.py:18-138; the round-4
+    rows-only pcen_hpss split per plan — HPSS stays numpy-parity-tested in
+    tests/test_dsp2.py): the per-doc token stream is the energy signal,
+    the Wang et al. 2017 smoother is the same first-order-IIR family
+    already oracled for butterworth_sosfilt, and gain=1/power=0.5 keep
+    the DRC stage inside correctly-rounded IEEE ops so the quantized
+    checksum matches DuckDB's identical fold bitwise. All JVM-side
+    (F.aggregate higher-order fold), no Python in the hot path."""
+    from .functions.dsp2 import pcen_docs
 
     seqs = tokenize_documents(load(spark, sf_dir, "documents"))
-
-    def kernel(batches):
-        import numpy as np
-
-        for pdf in batches:
-            rows = []
-            for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
-                x = np.asarray(toks, dtype=np.float64)
-                if x.size < 256:
-                    continue
-                mel = melspectrogram(x, sr=1.0, n_fft=128, hop=32, n_mels=8)
-                pc = pcen_base(mel, s=0.1)
-                H, P = hpss_signal(x - x.mean(), n_fft=128, hop=32, kernel_size=9)
-                rows.append(
-                    (
-                        doc_id,
-                        float(np.round(pc.mean(), 6)),
-                        float(np.round(np.sqrt((H * H).mean()), 6)),
-                        float(np.round(np.sqrt((P * P).mean()), 6)),
-                    )
-                )
-            yield pd.DataFrame(rows, columns=["doc_id", "pcen_mean", "h_rms", "p_rms"])
-
-    return seqs.mapInPandas(
-        kernel, schema="doc_id string, pcen_mean double, h_rms double, p_rms double"
-    )
+    return pcen_docs(seqs)
 
 
 @q("resample_polyphase", None)

@@ -47,6 +47,44 @@ def pcen_base(
     return (E / (eps + M) ** alpha + delta) ** r - delta**r
 
 
+def pcen_docs(seqs, s: float = 0.1, eps: float = 1e-6, delta: float = 2.0,
+              quantize: float = 1048576.0):
+    """Exact distributed PCEN (caits/fe/_pcen.py:18-138 surface with
+    gain(alpha)=1.0, power(r)=0.5, bias(delta)=2.0 and the smoother
+    coefficient b pinned to ``s``): per doc, fold the token stream as the
+    energy signal through
+
+        M(t) = (1-s) M(t-1) + s E(t)        (zero-init forward IIR)
+        v(t) = sqrt(E/(eps+M) + delta) - sqrt(delta)
+
+    accumulating sum(floor(v * quantize)) — a single JVM-side
+    ``F.aggregate`` higher-order fold, no Python in the loop. alpha=1 and
+    r=1/2 make the DRC stage one division plus one sqrt: both are
+    correctly-rounded IEEE ops, so a DuckDB list_reduce with the same
+    literals and op order reproduces the checksum BITWISE (the
+    butterworth-fold oracle family; pow with a non-integer exponent would
+    not be cross-engine exact). Returns (doc_id, pcen_chk long).
+    """
+    from pyspark.sql import functions as F
+
+    one_ms = 1.0 - s
+
+    def step(acc, t):
+        e = t.cast("double")
+        m_new = F.lit(one_ms) * acc["m"] + F.lit(s) * e
+        v = F.sqrt(e / (F.lit(eps) + m_new) + F.lit(delta)) - F.sqrt(F.lit(delta))
+        return F.struct(
+            m_new.alias("m"),
+            (acc["chk"] + F.floor(v * F.lit(quantize)).cast("double")).alias("chk"),
+        )
+
+    init = F.struct(F.lit(0.0).alias("m"), F.lit(0.0).alias("chk"))
+    return seqs.select(
+        "doc_id",
+        F.aggregate(F.col("tokens"), init, step)["chk"].cast("long").alias("pcen_chk"),
+    )
+
+
 def pcen(
     S: np.ndarray,
     sr: float = 22050,

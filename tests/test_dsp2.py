@@ -215,3 +215,35 @@ def test_resample_soxr_quality_ladder():
         return float((sp[(f > 3500) & (f < 3700)] ** 2).sum())
 
     assert alias_energy(hq) < alias_energy(qq) / 10  # longer filter rejects more
+
+
+def test_pcen_docs_matches_numpy_fold_and_reference_surface(spark):
+    """pcen_docs' JVM fold == an explicit numpy float64 fold with the same
+    op order, chk-EXACT; and the per-token v values are pcen_base with
+    alpha=1, r=0.5 (reference surface, allclose — pcen_base uses **0.5
+    which may differ from sqrt by an ulp)."""
+    import numpy as np
+
+    from crossai_ts_spark.functions.dsp2 import pcen_base, pcen_docs
+    from crossai_ts_spark.sources.tokenize import tokenize_documents
+
+    rows = [(i, "the quick brown fox %d jumps" % i * (i + 1), "en", "t") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = pcen_docs(tokenize_documents(docs)).toPandas().set_index("doc_id").pcen_chk
+
+    s, eps, delta, Q = 0.1, 1e-6, 2.0, 1048576.0
+    for i, text, _, _ in rows:
+        E = np.array([ord(c) for c in text], dtype=np.float64)
+        m, chk = 0.0, 0.0
+        for e in E:
+            m = (1.0 - s) * m + s * e
+            v = np.sqrt(e / (eps + m) + delta) - np.sqrt(delta)
+            chk += np.floor(v * Q)
+        assert got.loc[str(i)] == int(chk)
+        # reference-surface tie: same values through pcen_base(alpha=1, r=.5)
+        ref = pcen_base(E[None, :], alpha=1.0, delta=delta, r=0.5, s=s, eps=eps)[0]
+        m2, vs = 0.0, []
+        for e in E:
+            m2 = (1.0 - s) * m2 + s * e
+            vs.append(np.sqrt(e / (eps + m2) + delta) - np.sqrt(delta))
+        assert np.allclose(ref, np.array(vs), rtol=1e-12)
