@@ -5,11 +5,14 @@ signatures) is real and tested. Decoding:
 
 - audio: REAL everywhere — PCM WAV via stdlib ``wave`` + numpy
   (decode_wav), upgraded to soundfile for non-WAV formats when present.
-- image/video: real via PIL/av when the deploy image has them; this
-  sandbox has neither, so they fall back to the deterministic fake
-  (fixed-shape float array derived from a payload digest), keeping the
-  pipeline testable end-to-end. Injecting a decoder with the same
-  signature (bytes, kind) -> np.ndarray changes nothing else.
+- image: REAL everywhere — binary/ascii PPM and uncompressed BMP via a
+  pure numpy parser (decode_image), upgraded to PIL for the full format
+  zoo when present.
+- video: real via av when the deploy image has it; this sandbox doesn't,
+  so it falls back to the deterministic fake (fixed-shape float array
+  derived from a payload digest), keeping the pipeline testable
+  end-to-end. Injecting a decoder with the same signature
+  (bytes, kind) -> np.ndarray changes nothing else.
 """
 
 from __future__ import annotations
@@ -61,7 +64,7 @@ _KIND_LIB = {"image": "PIL", "audio": "soundfile", "video": "av"}
 
 def has_real_decoder(kind: str) -> bool:
     return {
-        "image": _PIL_IMAGE is not None,
+        "image": True,  # PIL when present, stdlib PPM/BMP always
         "audio": True,  # soundfile when present, stdlib wave for PCM WAV always
         "video": _AV is not None,
     }.get(kind, False)
@@ -118,6 +121,104 @@ def encode_wav(wave_f32: np.ndarray, sr: int = 16000) -> bytes:
     return buf.getvalue()
 
 
+def decode_image(payload: bytes) -> np.ndarray:
+    """Pure-stdlib image decode for binary/ascii PPM (P6/P3) and
+    uncompressed BI_RGB BMP (24/32-bit) — the image twin of decode_wav,
+    so image decode is REAL in environments without PIL
+    (caits-style loaders hand this to PIL; the formats here are the two
+    self-describing ones parseable from bytes alone). Returns float32
+    HxWx3 in [0, 1]."""
+    if payload[:2] in (b"P6", b"P3"):
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    raise ValueError("not a PPM (P6/P3) or BMP payload")
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    # header tokens (magic, w, h, maxval) separated by whitespace, with
+    # '#' comments running to end-of-line; P6 pixel data starts after the
+    # single whitespace byte following maxval
+    pos, toks = 0, []
+    while len(toks) < 4:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        toks.append(payload[start:pos])
+    magic, w, h, maxval = toks[0], int(toks[1]), int(toks[2]), int(toks[3])
+    if w <= 0 or h <= 0 or not 0 < maxval < 65536:
+        raise ValueError(f"bad PPM geometry {w}x{h} maxval={maxval}")
+    n = w * h * 3
+    if magic == b"P3":
+        vals = np.array(payload[pos:].split()[:n], dtype=np.int64)
+        if vals.size != n:
+            raise ValueError("truncated P3 pixel data")
+    else:
+        pos += 1  # exactly one whitespace byte after maxval
+        if maxval < 256:
+            vals = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+        else:  # 2-byte samples, big-endian per the spec
+            vals = np.frombuffer(payload, dtype=">u2", count=n, offset=pos)
+    return (vals.reshape(h, w, 3).astype(np.float32)) / float(maxval)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    import struct
+
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP DIB header size {hdr_size}")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"only uncompressed 24/32-bit BI_RGB supported (bpp={bpp})")
+    top_down, h = h < 0, abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad BMP geometry {w}x{h}")
+    nb = bpp // 8
+    stride = (w * nb + 3) // 4 * 4  # rows padded to 4 bytes
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    px = rows.reshape(h, stride)[:, : w * nb].reshape(h, w, nb)
+    if not top_down:
+        px = px[::-1]
+    rgb = px[:, :, 2::-1]  # BGR(A) -> RGB
+    return rgb.astype(np.float32) / 255.0
+
+
+def encode_ppm(img01: np.ndarray) -> bytes:
+    """float [0,1] HxWx3 -> binary P6 PPM (maxval 255); decode_image inverse
+    up to 8-bit quantization — for tests and synth_image_media."""
+    a = np.clip(np.round(np.asarray(img01, dtype=np.float64) * 255.0), 0, 255).astype(np.uint8)
+    h, w, _ = a.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def encode_bmp(img01: np.ndarray) -> bytes:
+    """float [0,1] HxWx3 -> 24-bit bottom-up BI_RGB BMP."""
+    import struct
+
+    a = np.clip(np.round(np.asarray(img01, dtype=np.float64) * 255.0), 0, 255).astype(np.uint8)
+    h, w, _ = a.shape
+    stride = (w * 3 + 3) // 4 * 4
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    pix = body.tobytes()
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+    )
+    return header + pix
+
+
 def real_decoder(payload: bytes, kind: str) -> np.ndarray:
     """Decode with the kind's library (PIL / soundfile / av) when present.
 
@@ -127,9 +228,11 @@ def real_decoder(payload: bytes, kind: str) -> np.ndarray:
     """
     import io
 
-    if kind == "image" and _PIL_IMAGE is not None:  # pragma: no cover
-        img = _PIL_IMAGE.open(io.BytesIO(payload))
-        return np.asarray(img, dtype=np.float32) / 255.0
+    if kind == "image":
+        if _PIL_IMAGE is not None:  # pragma: no cover - not in sandbox image
+            img = _PIL_IMAGE.open(io.BytesIO(payload))
+            return np.asarray(img, dtype=np.float32) / 255.0
+        return decode_image(payload)  # stdlib PPM/BMP: real in this sandbox
     if kind == "audio":
         if _SOUNDFILE is not None:  # pragma: no cover - not in sandbox image
             wave, _sr = _SOUNDFILE.read(io.BytesIO(payload), dtype="float32")
@@ -151,14 +254,17 @@ def auto_decoder(payload: bytes, kind: str, strict: bool = False) -> np.ndarray:
     fake_decoder otherwise — the decode path upgrades itself on a
     fully-provisioned image.
 
-    The stdlib-audio path only claims RIFF/WAVE payloads (sniffed by
-    magic); non-WAV audio bytes without soundfile fall back to the fake,
-    so synthetic digest payloads keep working unchanged. A payload that
+    The stdlib paths only claim payloads their parsers can actually read,
+    sniffed by magic — RIFF for audio without soundfile, P6/P3/BM for
+    images without PIL; other bytes fall back to the fake, so synthetic
+    digest payloads keep working unchanged. A payload that
     LOOKS decodable but isn't (b'RIFF' prefix on an AVI container, a
     truncated WAV, corrupt image bytes) also falls back rather than
     killing the whole Spark task/batch; pass strict=True to re-raise
     decode errors instead (debugging a decode regression)."""
     if kind == "audio" and _SOUNDFILE is None and payload[:4] != b"RIFF":
+        return fake_decoder(payload, kind)
+    if kind == "image" and _PIL_IMAGE is None and payload[:2] not in (b"P6", b"P3", b"BM"):
         return fake_decoder(payload, kind)
     if has_real_decoder(kind):
         try:
@@ -198,6 +304,44 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                         "meta_height": 64 if kind == "image" else None,
                         "meta_sr": 16000 if kind == "audio" else None,
                         "meta_frames": 30 if kind == "video" else None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synth_image_media(spark, n: int = 16, seed: int = 42, w: int = 24,
+                      h: int = 16) -> DataFrame:
+    """Synthetic image table whose payloads are GENUINE image bytes —
+    alternating binary PPM (P6) and 24-bit BMP of a deterministic
+    per-row gradient+noise pattern — so the stdlib decode path is
+    exercised end-to-end through Spark, mirroring synth_wav_media."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rng = np.random.default_rng([seed, int(i)])
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (xx / max(w - 1, 1)),
+                        (yy / max(h - 1, 1)),
+                        rng.uniform(0, 1, (h, w)),
+                    ],
+                    axis=-1,
+                )
+                payload = encode_ppm(img) if int(i) % 2 == 0 else encode_bmp(img)
+                rows.append(
+                    {
+                        "media_id": f"img-{int(i):06d}",
+                        "kind": "image",
+                        "payload": payload,
+                        "meta_width": w,
+                        "meta_height": h,
+                        "meta_sr": None,
+                        "meta_frames": None,
                     }
                 )
             yield pd.DataFrame(rows)

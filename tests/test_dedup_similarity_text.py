@@ -116,7 +116,8 @@ def test_multimodal_plumbing(spark):
     frames = frame_sample(media, every=10).toPandas()
     assert set(frames.frame_idx) == {0, 10, 20}
 
-    with pytest.raises(NotImplementedError):
+    # image decode is stdlib-real now (PPM/BMP); junk bytes raise ValueError
+    with pytest.raises(ValueError, match="not a PPM"):
         real_decoder(b"x", "image")
 
 
@@ -985,3 +986,88 @@ def test_auto_decoder_corrupt_riff_falls_back():
         assert (got == fake_decoder(payload, "audio")).all()
         with pytest.raises(Exception):
             auto_decoder(payload, "audio", strict=True)
+
+
+def test_stdlib_image_decode_roundtrip_and_formats():
+    """decode_image: P6/BMP encode->decode identity up to 8-bit
+    quantization; P3 ascii, header comments, 16-bit maxval, odd widths
+    (BMP row padding), top-down BMP — all parsed correctly."""
+    import numpy as np
+
+    from crossai_ts_spark.operators.multimodal import (
+        _decode_bmp,
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 1, (11, 13, 3))  # width 13: BMP stride padding
+    for enc in (encode_ppm, encode_bmp):
+        got = decode_image(enc(img))
+        assert got.shape == (11, 13, 3) and got.dtype == np.float32
+        assert np.abs(got - img).max() <= 0.5 / 255 + 1e-7
+
+    # P3 ascii with comments
+    p3 = b"P3\n# a comment\n2 1\n# another\n255\n255 0 0  0 128 255\n"
+    got = decode_image(p3)
+    assert got.shape == (1, 2, 3)
+    assert np.allclose(got[0, 0], [1.0, 0.0, 0.0])
+    assert np.allclose(got[0, 1], [0.0, 128 / 255, 1.0])
+
+    # 16-bit maxval P6 (big-endian samples)
+    px = np.array([[655, 0, 65535]], dtype=">u2")
+    p6_16 = b"P6\n1 1\n65535\n" + px.tobytes()
+    got = decode_image(p6_16)
+    assert np.allclose(got.ravel(), [655 / 65535, 0.0, 1.0])
+
+    # top-down BMP (negative height) decodes to the same pixels
+    bottom_up = encode_bmp(img)
+    import struct
+
+    td = bytearray(bottom_up)
+    hdrw, hdrh = struct.unpack_from("<ii", td, 18)
+    struct.pack_into("<ii", td, 18, hdrw, -hdrh)
+    pix = np.clip(np.round(img * 255), 0, 255).astype(np.uint8)
+    stride = (13 * 3 + 3) // 4 * 4
+    body = np.zeros((11, stride), dtype=np.uint8)
+    body[:, : 13 * 3] = pix[:, :, ::-1].reshape(11, 13 * 3)  # NOT flipped
+    td[54:] = body.tobytes()
+    assert np.array_equal(_decode_bmp(bytes(td)), decode_image(bottom_up))
+
+
+def test_image_media_decodes_real_through_spark(spark):
+    """synth_image_media payloads are genuine PPM/BMP; auto_decoder takes
+    the stdlib real path inside the Spark kernel (mirrors the WAV test),
+    and corrupt image bytes fall back to the fake instead of raising."""
+    import numpy as np
+
+    from crossai_ts_spark.operators.multimodal import (
+        auto_decoder,
+        decode_image,
+        extract_features,
+        fake_decoder,
+        pool_features,
+        synth_image_media,
+    )
+
+    media = synth_image_media(spark, n=6, seed=3)
+    rows = media.toPandas()
+    assert {bytes(p)[:2] for p in rows.payload} == {b"P6", b"BM"}
+
+    feats = extract_features(media).toPandas().sort_values("media_id")
+    assert all(len(e) == 64 for e in feats.embedding)
+    for _, r in rows.iterrows():
+        want = pool_features(decode_image(bytes(r.payload)), 64)
+        got = np.asarray(
+            feats.set_index("media_id").loc[r.media_id, "embedding"], dtype=np.float32
+        )
+        assert np.allclose(got, want, atol=1e-6)
+        fake = pool_features(fake_decoder(bytes(r.payload), "image"), 64)
+        assert not np.allclose(got, fake)
+
+    # corrupt sniffable payloads: fake fallback, strict raises
+    for junk in (b"P6\n-3 2\n255\nxx", b"BM" + b"\x00" * 20):
+        assert (auto_decoder(junk, "image") == fake_decoder(junk, "image")).all()
+    # non-sniffable bytes keep the digest-fake contract
+    assert (auto_decoder(b"\x89PNG1234", "image") == fake_decoder(b"\x89PNG1234", "image")).all()
