@@ -325,23 +325,38 @@ def rollup_histogram(
     (doc_id, window_start, b0..b{n-1}, total, median_bucket) where
     median_bucket is the first bucket whose cumulative count reaches
     half the window total.
+
+    SINGLE-PASS fold: each window's tokens are bucketed once, then one
+    aggregate carries the whole n_buckets-slot count array, updating one
+    slot per token (two slices + concat = one JVM array copy). The
+    round-4 shape ran one full fold PER BUCKET — O(w x nb) slice scans
+    with per-element CASE evaluation, ~9 min per 515 M-token run at
+    nb=64 in the round-5 stress pass. The rewrite is count-identical
+    (same oracle) and faster, but HOF lambdas evaluate INTERPRETED per
+    element, so per-token cost still carries the O(nb) array copy: fine
+    at the nb=16 default, wrong for wide histograms — use
+    :func:`rollup_histogram_pandas` (bincount, per-token O(1)) past
+    nb~16; the stress table in BENCH/BASELINE.md has both measured.
     """
-    folds = ", ".join(
-        f"'b{b}', aggregate(slice(tokens, wi * {w} + 1, {w}), cast(0 as bigint), "
-        f"(a, t) -> a + CASE WHEN least((t * {n_buckets}) div {vmax}, {n_buckets - 1}) = {b} "
-        f"THEN 1 ELSE 0 END)"
-        for b in range(n_buckets)
+    bids = (
+        f"transform(slice(tokens, wi * {w} + 1, {w}), "
+        f"t -> cast(least((t * {n_buckets}) div {vmax}, {n_buckets - 1}) as int))"
+    )
+    hist = (
+        f"aggregate({bids}, array_repeat(cast(0 as bigint), {n_buckets}), "
+        f"(acc, j) -> concat(slice(acc, 1, j), array(acc[j] + 1), "
+        f"slice(acc, j + 2, {n_buckets} - j - 1)))"
     )
     spine = (
         f"transform(sequence(0, cast(ceil(n_tok / cast({w} as double)) as int) - 1), "
-        f"wi -> named_struct('window_start', cast(wi as bigint) * {w}, {folds}))"
+        f"wi -> named_struct('window_start', cast(wi as bigint) * {w}, 'h', {hist}))"
     )
     out = (
         df.filter(F.col("n_tok") > 0)
         .withColumn("_h", F.expr(spine))
         .select("doc_id", F.explode("_h").alias("hw"))
         .select("doc_id", F.col("hw.window_start").alias("window_start"),
-                *[F.col(f"hw.b{b}").alias(f"b{b}") for b in range(n_buckets)])
+                *[F.col("hw.h")[b].alias(f"b{b}") for b in range(n_buckets)])
     )
     arr = "array(" + ", ".join(f"b{b}" for b in range(n_buckets)) + ")"
     total = " + ".join(f"b{b}" for b in range(n_buckets))
@@ -353,6 +368,56 @@ def rollup_histogram(
     return (
         out.withColumn("total", F.expr(total).cast("long"))
         .withColumn("median_bucket", F.expr(med).cast("long"))
+    )
+
+
+def rollup_histogram_pandas(
+    df: DataFrame, w: int = DEFAULT_W, n_buckets: int = 16, vmax: int = 1104
+) -> DataFrame:
+    """Arrow twin of :func:`rollup_histogram` — identical counts/schema
+    (frame-equality tested), np.bincount kernel.
+
+    Why it exists: Spark higher-order-function lambdas evaluate
+    INTERPRETED per element, so any native histogram fold pays
+    O(n_buckets) interpreted work per token (per-bucket re-folds in the
+    round-4 shape, per-token array copies in the single-pass shape) —
+    measured ~4x wall between nb=16 and nb=64 on 515 M tokens. bincount
+    is one vectorized C pass per doc (window*nb + bucket as the flat key),
+    so per-token cost is O(1) and independent of n_buckets: the scale
+    path for wide histograms, same narrow no-shuffle topology."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bcols = [f"b{b}" for b in range(n_buckets)]
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in
+                                    ["doc_id", "window_start", *bcols, "total", "median_bucket"]}
+            for row in pdf.itertuples(index=False):
+                toks = np.asarray(row.tokens, dtype=np.int64)
+                n = toks.size
+                if n == 0:
+                    continue
+                nw = -(-n // w)
+                bid = np.minimum(toks * n_buckets // vmax, n_buckets - 1)
+                flat = (np.arange(n) // w) * n_buckets + bid
+                counts = np.bincount(flat, minlength=nw * n_buckets).reshape(nw, n_buckets)
+                total = counts.sum(axis=1)
+                med = (np.cumsum(counts, axis=1) * 2 < total[:, None]).sum(axis=1)
+                out["doc_id"].append(np.repeat(row.doc_id, nw))
+                out["window_start"].append(np.arange(nw, dtype=np.int64) * w)
+                for b in range(n_buckets):
+                    out[bcols[b]].append(counts[:, b].astype(np.int64))
+                out["total"].append(total.astype(np.int64))
+                out["median_bucket"].append(med.astype(np.int64))
+            if out["doc_id"]:
+                yield pd.DataFrame({c: np.concatenate(v) for c, v in out.items()})
+
+    schema = "doc_id string, window_start long, " + ", ".join(
+        f"b{b} long" for b in range(n_buckets)
+    ) + ", total long, median_bucket long"
+    return (
+        df.filter(F.col("n_tok") > 0)
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "tokens")
+        .mapInPandas(kernel, schema=schema)
     )
 
 
