@@ -72,6 +72,9 @@ HEADLINE_QUERIES = [
     "rollup_histogram",
     # round-5 additions
     "pcen_exact",
+    "segment_dedup",
+    "ngram_topk",
+    "centroid_outliers",
 ]
 
 

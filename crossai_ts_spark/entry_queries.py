@@ -4720,3 +4720,112 @@ def augment_convolve(spark, sf_dir):
             "cast(0 as bigint), (a, b) -> a + b)"
         ).alias("conv_chk"),
     )
+
+
+# ---------------------------------------------- round-5: segment dedup,
+# corpus n-gram inventory, cluster-centroid curation
+
+SQL_SEGMENT_DEDUP = """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE len(string_split(text, ' ')) > 0
+), segs AS (
+  SELECT doc_id,
+         array_to_string(w[si*10+1 : si*10+10], ' ') AS seg
+  FROM base, UNNEST(range(0, CAST(ceil(len(w) / 10.0) AS INT))) t(si)
+), dup AS (
+  SELECT seg FROM segs GROUP BY seg HAVING COUNT(*) > 1
+)
+SELECT s.doc_id,
+       COUNT(*)::BIGINT AS n_segs,
+       SUM(CASE WHEN d.seg IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dup_segs,
+       SUM(CASE WHEN d.seg IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         / COUNT(*)::DOUBLE AS dup_seg_frac
+FROM segs s LEFT JOIN dup d USING (seg)
+GROUP BY s.doc_id
+"""
+
+
+@q("segment_dedup", SQL_SEGMENT_DEDUP)
+def segment_dedup_q(spark, sf_dir):
+    """CCNet/RefinedWeb-style repeated-segment inventory
+    (operators/dedup.segment_dedup): non-overlapping 10-word segments,
+    a segment is duplicated when its exact text recurs anywhere in the
+    corpus; per doc the duplicated-segment fraction drives the drop/clean
+    decision. Linear — one explode, one groupBy on segment text, no
+    pairing stage."""
+    from .operators.dedup import segment_dedup
+
+    return segment_dedup(load(spark, sf_dir, "documents"), seg_words=10)
+
+
+SQL_NGRAM_TOPK = """
+WITH w AS (
+  SELECT list_filter(string_split(text, ' '), x -> x != '') AS w
+  FROM documents
+), g AS (
+  SELECT array_to_string(w[i+1 : i+2], ' ') AS ngram
+  FROM w, UNNEST(range(0, len(w) - 1)) t(i)
+  WHERE len(w) >= 2
+), c AS (
+  SELECT ngram, COUNT(*)::BIGINT AS cnt FROM g GROUP BY ngram
+)
+SELECT ngram, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, ngram) AS BIGINT) AS rank
+FROM c ORDER BY cnt DESC, ngram LIMIT 50
+"""
+
+
+@q("ngram_topk", SQL_NGRAM_TOPK)
+def ngram_topk_q(spark, sf_dir):
+    """Corpus-wide top-50 word bigrams (operators/textstats.ngram_topk) —
+    the boilerplate/artifact audit over the whole corpus; deterministic
+    count-then-text tie-break. Spark executes the top-k as
+    TakeOrderedAndProject (per-partition heaps), never a full sort of the
+    n-gram universe."""
+    from .operators.textstats import ngram_topk
+
+    return ngram_topk(load(spark, sf_dir, "documents"), n=2, k=50)
+
+
+def _centroid_sql(q: float = 1048576.0, tau: float = 1.0) -> str:
+    qs = f"{q!r}"
+    diff = (
+        f"(floor(emb[i]::DOUBLE * {qs}) / {qs} - carr[i])"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, embedding AS emb FROM embeddings
+), ex AS (
+  SELECT label, i AS dim,
+         CAST(floor(emb[i+1]::DOUBLE * {qs}) AS BIGINT) AS fq
+  FROM e, UNNEST(range(0, len(emb))) t(i)
+), s AS (
+  SELECT label, dim, SUM(fq)::BIGINT AS sm, COUNT(*)::BIGINT AS n
+  FROM ex GROUP BY label, dim
+), cent AS (
+  SELECT label, list((sm::DOUBLE / n::DOUBLE) / {qs} ORDER BY dim) AS carr
+  FROM s GROUP BY label
+), d AS (
+  SELECT e.vec_id::BIGINT AS vec_id, e.label,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(range(1, len(emb) + 1), i -> {diff} * {diff})),
+           (acc, x) -> acc + x) AS dist2
+  FROM e JOIN cent USING (label)
+)
+SELECT vec_id, label, dist2, dist2 >= '{tau!r}'::DOUBLE AS is_outlier FROM d
+"""
+
+
+@q("centroid_outliers", _centroid_sql())
+def centroid_outliers(spark, sf_dir):
+    """Cluster-conditioned embedding curation
+    (operators/similarity.centroid_distances): per-label centroid from
+    EXACT integer sums (order-independent, hash-stable), per-vector
+    squared distance via an in-order fold — the SemDeDup / prototype-
+    filter primitive. Corpus never shuffles for the distance pass
+    (centroid table is broadcast)."""
+    from .operators.similarity import centroid_distances
+
+    e = load(spark, sf_dir, "embeddings")
+    return centroid_distances(e, by="label")

@@ -474,6 +474,62 @@ def apply_substring_dedup(
     )
 
 
+def segment_dedup(
+    docs: DataFrame,
+    seg_words: int = 10,
+    text: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """Repeated-segment inventory — the CCNet/RefinedWeb line-level dedup
+    recipe (public method: dedupe segments whose exact content recurs
+    anywhere in the corpus; boilerplate headers/footers dominate). A
+    segment here is ``seg_words`` consecutive ``sep``-separated words
+    (non-overlapping; ragged tail kept): corpora with real line structure
+    pass sep='\\n' and seg_words=1 for verbatim CCNet lines — this corpus
+    is one space-separated stream, so fixed word blocks are the honest
+    equivalent.
+
+    Output per doc: (doc_id, n_segs, n_dup_segs, dup_seg_frac). A segment
+    is duplicated when its exact text occurs >1 time corpus-wide (the
+    segment STRING is the key — no hash function to match across engines).
+
+    Scale shape: one explode (linear in corpus words), one map-side-
+    combined groupBy on segment text, one broadcast-threshold-free join
+    back, one per-doc aggregate. A boilerplate segment shared by d docs
+    costs d rows — no pairing stage, the substring-dedup argument at
+    segment granularity.
+    """
+    if seg_words <= 0:
+        raise ValueError(f"seg_words must be positive, got {seg_words}")
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.split(F.col(text), sep).alias("_w"),
+    ).filter(F.size("_w") > 0)
+    segs_expr = (
+        f"transform(sequence(0, cast(ceil(size(_w) / {seg_words}.0) as int) - 1), "
+        f"si -> concat_ws('{sep}', slice(_w, si * {seg_words} + 1, {seg_words})))"
+    )
+    segs = base.select("doc_id", F.posexplode(F.expr(segs_expr)).alias("seg_idx", "seg"))
+    dup = (
+        segs.groupBy("seg")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") > 1)
+        .select("seg")
+    )
+    marked = segs.join(dup.withColumn("_dup", F.lit(1)), "seg", "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segs"),
+            F.sum(F.coalesce("_dup", F.lit(0))).cast("long").alias("n_dup_segs"),
+        )
+        .withColumn(
+            "dup_seg_frac",
+            F.col("n_dup_segs").cast("double") / F.col("n_segs").cast("double"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",

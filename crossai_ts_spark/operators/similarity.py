@@ -204,3 +204,66 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "vec_id", "cos_sim")
     )
+
+
+def centroid_distances(
+    corpus: DataFrame,
+    by: str = "label",
+    vec: str = "embedding",
+    quantize: float = 1048576.0,
+    outlier_dist2: float = 1.0,
+) -> DataFrame:
+    """Per-group centroid + each vector's squared distance to its group's
+    centroid — the cluster-conditioned curation primitive (public recipe:
+    SemDeDup prunes near-centroid semantic duplicates inside a cluster,
+    prototype/noise filters drop far outliers; both read this table).
+
+    Cross-engine exactness: the centroid per dimension is built from
+    EXACT integer sums of floor(v * quantize) (order-independent — a
+    float sum across rows would be partition-order-dependent and never
+    hash-stable), divided back in a fixed op order; the distance is a
+    per-row left-to-right fold over the dims. quantize = 2^20 keeps the
+    quantization error at 1e-6 of a unit vector while / quantize stays
+    EXACT (power of two). Integer headroom: |v|<=~30 -> ~2^25 per
+    element, overflow only past ~2^38 rows per group.
+
+    Output: (vec_id, <by>, dist2 double, is_outlier = dist2 >= tau).
+
+    Scale shape: one posexplode (linear in rows x dims) into a map-side-
+    combined (group, dim) aggregate -> centroid table of groups x dims
+    rows (tiny), reassembled into per-group arrays and BROADCAST back —
+    the corpus itself never shuffles for the distance pass.
+    """
+    q = float(quantize)
+    ex = corpus.select(
+        F.col(by), F.posexplode(F.col(vec)).alias("dim", "v")
+    ).select(by, "dim", F.floor(F.col("v").cast("double") * q).cast("long").alias("fq"))
+    sums = ex.groupBy(by, "dim").agg(
+        F.sum("fq").alias("s"), F.count("*").alias("n")
+    )
+    # centroid dim value: (int_sum / n) / Q — both divisions deterministic,
+    # the second exact (Q = power of two); same op order in the oracle
+    cent = sums.select(
+        by,
+        "dim",
+        ((F.col("s").cast("double") / F.col("n").cast("double")) / F.lit(q)).alias("c"),
+    )
+    carr = cent.groupBy(by).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("_cent")
+    )
+    joined = corpus.select("vec_id", by, vec).join(F.broadcast(carr), by)
+    diff = F.zip_with(
+        F.col(vec),
+        F.col("_cent"),
+        lambda v, c: (F.floor(v.cast("double") * F.lit(q)) / F.lit(q) - c)
+        * (F.floor(v.cast("double") * F.lit(q)) / F.lit(q) - c),
+    )
+    dist2 = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+    return joined.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        by,
+        dist2.alias("dist2"),
+        (dist2 >= F.lit(float(outlier_dist2))).alias("is_outlier"),
+    )

@@ -5,7 +5,7 @@ no UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = ["the", "and", "of", "to", "a", "in", "is"]
@@ -327,3 +327,34 @@ def gopher_rules(
         & F.col("ok_stopwords")
     )
     return rules.withColumn("keep", keep)
+
+
+def ngram_topk(docs: DataFrame, n: int = 2, k: int = 50, text: str = "text") -> DataFrame:
+    """Corpus-wide most-frequent word n-grams — the vocabulary/artifact
+    scan a pretraining pipeline runs to spot templated boilerplate and
+    scraping junk before it trains into the model (the public data-audit
+    recipe; per-doc repetition is `repetition_scores`, this is the
+    CROSS-doc inventory).
+
+    Output: (ngram, cnt, rank) for the top-k by count, ties broken by
+    ngram text ascending — fully deterministic.
+
+    Scale shape: one explode (linear in corpus words), one map-side-
+    combined groupBy on the n-gram, then a global top-k which Spark
+    executes as TakeOrderedAndProject (per-partition heap + driver merge
+    of k rows), never a full sort of the n-gram universe.
+    """
+    if n <= 0 or k <= 0:
+        raise ValueError(f"n and k must be positive, got n={n} k={k}")
+    # docs shorter than n words contribute nothing; the filter also keeps
+    # sequence() away from a negative stop (Spark would infer step -1)
+    wdocs = docs.select(_words(text).alias("_w")).filter(F.size("_w") >= n)
+    grams_expr = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("_w")) - n),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, n)),
+    )
+    grams = wdocs.select(F.explode(grams_expr).alias("ngram"))
+    counted = grams.groupBy("ngram").agg(F.count("*").alias("cnt"))
+    top = counted.orderBy(F.col("cnt").desc(), F.col("ngram").asc()).limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+    return top.select("ngram", "cnt", F.row_number().over(w).cast("long").alias("rank"))

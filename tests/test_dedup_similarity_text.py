@@ -1071,3 +1071,71 @@ def test_image_media_decodes_real_through_spark(spark):
         assert (auto_decoder(junk, "image") == fake_decoder(junk, "image")).all()
     # non-sniffable bytes keep the digest-fake contract
     assert (auto_decoder(b"\x89PNG1234", "image") == fake_decoder(b"\x89PNG1234", "image")).all()
+
+
+def test_segment_dedup_semantics(spark):
+    """10-word blocks: docs sharing an identical aligned block are flagged;
+    a shared phrase NOT aligned to block boundaries is not (the documented
+    CCNet-segment semantics); ragged tails count as segments."""
+    from crossai_ts_spark.operators.dedup import segment_dedup
+
+    block = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [
+        (1, block + " a1 a2 a3", "en", "t"),          # block + 3-word tail
+        (2, block + " b1 b2 b3 b4", "en", "t"),       # same first block
+        (3, "x0 " + block[: -4] + " z9 z8", "en", "t"),  # misaligned overlap
+        (4, "u1 u2 u3", "en", "t"),                    # single short segment
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = segment_dedup(docs, seg_words=10).toPandas().set_index("doc_id")
+    assert got.loc["1", "n_segs"] == 2 and got.loc["1", "n_dup_segs"] == 1
+    assert got.loc["2", "n_segs"] == 2 and got.loc["2", "n_dup_segs"] == 1
+    assert got.loc["1", "dup_seg_frac"] == 0.5
+    assert got.loc["3", "n_dup_segs"] == 0
+    assert got.loc["4", "n_segs"] == 1 and got.loc["4", "n_dup_segs"] == 0
+
+
+def test_ngram_topk_counts_and_tiebreak(spark):
+    from crossai_ts_spark.operators.textstats import ngram_topk
+
+    rows = [
+        (1, "a b a b c", "en", "t"),   # bigrams: "a b" x2, "b a", "b c"
+        (2, "a b z z", "en", "t"),     # "a b", "b z", "z z"
+        (3, "q", "en", "t"),           # shorter than n: contributes nothing
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = ngram_topk(docs, n=2, k=3).toPandas()
+    assert list(got.ngram) == ["a b", "b a", "b c"]  # 3 then ties text-asc
+    assert list(got.cnt) == [3, 1, 1]
+    assert list(got["rank"]) == [1, 2, 3]
+
+
+def test_centroid_distances_exact_vs_numpy(spark):
+    """dist2 equals the numpy recomputation with identical quantization
+    and op order EXACTLY (integer-sum centroid, in-order fold)."""
+    import numpy as np
+
+    from crossai_ts_spark.operators.similarity import centroid_distances
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(0, 1, (30, 8)).astype(np.float32)
+    labels = [int(i % 3) for i in range(30)]
+    emb = spark.createDataFrame(
+        [(i, vecs[i].tolist(), labels[i]) for i in range(30)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = centroid_distances(emb, by="label").toPandas().set_index("vec_id")
+
+    Q = 1048576.0
+    fq = np.floor(vecs.astype(np.float64) * Q)
+    for lab in set(labels):
+        idx = [i for i in range(30) if labels[i] == lab]
+        s = fq[idx].sum(axis=0)  # exact integers -> order-free
+        c = (s / float(len(idx))) / Q
+        for i in idx:
+            d = 0.0
+            for k in range(8):
+                t = fq[i, k] / Q - c[k]
+                d += t * t
+            assert got.loc[i, "dist2"] == d
+            assert bool(got.loc[i, "is_outlier"]) == (d >= 1.0)

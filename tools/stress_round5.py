@@ -124,8 +124,10 @@ meta = seqs.selectExpr("count(*) n", "sum(cast(n_tok as bigint)) t").collect()[0
 
 def run(fn):
     t0 = time.monotonic()
-    r = fn().select(F.sum(F.xxhash64("doc_id", "cum_start", "pack_id")).alias("h"),
-                    F.count("*").alias("n")).collect()[0]
+    r = fn().select(
+        F.sum(F.xxhash64("doc_id", "cum_start", "pack_id").cast("decimal(38,0)")).alias("h"),
+        F.count("*").alias("n"),
+    ).collect()[0]
     release_tracked()
     return time.monotonic() - t0, (int(r.h), int(r.n))
 
@@ -230,10 +232,12 @@ Sequence packing on the same input (Zipf-hot `source`,
 {p['two_phase']['wall']} s (trials {p['two_phase']['walls']}) vs naive
 global-window {p['global_window']['wall']} s (trials
 {p['global_window']['walls']}); output digests bitwise-equal
-(xxhash64 over doc_id, cum_start, pack_id). At this single-box scale the
-two plans are comparable — the two-phase shape exists for the
-10^12-doc design point where the global window serializes the hottest
-shard on one task; here it proves zero overhead and exact equality.
+(xxhash64 over doc_id, cum_start, pack_id). Honest read: at this size
+the two-phase plan pays a sub-second CONSTANT overhead (one extra
+exchange + the tracked persist) the one-window plan doesn't — the trade
+buys bounded per-task input at the 10^12-doc design point, where the
+global window serializes the hottest Zipf shard on ONE task while every
+two-phase bucket stays ~N/B (hot-shard boundedness is pytest-asserted).
 """
         _append_extra_section(md)
         print("[stress] wrote round-5 section to BENCH/BASELINE.md")
