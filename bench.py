@@ -75,6 +75,7 @@ HEADLINE_QUERIES = [
     "segment_dedup",
     "ngram_topk",
     "centroid_outliers",
+    "hll_rollup",
 ]
 
 

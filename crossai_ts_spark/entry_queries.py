@@ -4829,3 +4829,49 @@ def centroid_outliers(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     return centroid_distances(e, by="label")
+
+
+SQL_HLL = """
+WITH e AS (
+  SELECT (floor(epoch(ts))::BIGINT // 3600) * 3600 AS window_start,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+), r AS (
+  SELECT window_start, h % 64 AS reg, h // 64 AS p FROM e
+), rk AS (
+  SELECT window_start, reg,
+         CASE WHEN p = 0 THEN 55 ELSE length(bin(p & -p)) END AS rank
+  FROM r
+), s1 AS (
+  SELECT window_start, reg, MAX(rank)::BIGINT AS M FROM rk GROUP BY window_start, reg
+), s2 AS (
+  SELECT (window_start // 14400) * 14400 AS window_start, reg, MAX(M) AS M
+  FROM s1 GROUP BY 1, reg
+), u AS (
+  SELECT 1 AS tier, * FROM s1 UNION ALL SELECT 2 AS tier, * FROM s2
+), est AS (
+  SELECT tier, window_start, list(M ORDER BY reg) AS ms, COUNT(*) AS np
+  FROM u GROUP BY tier, window_start
+)
+SELECT tier::INT AS tier, window_start,
+       (64 - np)::BIGINT AS v_empty,
+       (CAST('0.709' AS DOUBLE) * CAST(4096 AS DOUBLE)) /
+       (list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(ms, x -> 1.0::DOUBLE / ((1::BIGINT << x)::DOUBLE))),
+          (acc, v) -> acc + v) + (64 - np)::DOUBLE) AS est_distinct
+FROM est
+"""
+
+
+@q("hll_rollup", SQL_HLL)
+def hll_rollup_q(spark, sf_dir):
+    """Mergeable HLL distinct-count rollup (operators/hll.py): distinct
+    users per hour (tier 1) and per 4 hours (tier 2 = elementwise
+    register MAX of tier-1 sketches, never re-reading raw events) — the
+    continuous-aggregate COUNT DISTINCT every OLAP/timeseries store
+    ships. Engine-portable md5 hash + integer-ops rank + shift-built
+    2^-M terms make even the double estimate bitwise reproducible in
+    DuckDB."""
+    from .operators.hll import hll_rollup
+
+    return hll_rollup(load(spark, sf_dir, "events"))

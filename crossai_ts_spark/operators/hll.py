@@ -1,0 +1,113 @@
+"""Mergeable distinct-count sketch rollup (HyperLogLog, Flajolet et al.
+2007) — COUNT DISTINCT as a continuous aggregate: exact distincts don't
+re-aggregate (|A ∪ B| ≠ |A| + |B|), but HLL register vectors merge with
+elementwise MAX, so a retention cascade can serve "distinct users per
+hour/day/week" from sketches the same way min/max/sum tiers serve range
+stats. The classic streaming/OLAP move (Druid/ClickHouse/BigQuery all
+ship it); here it is built engine-portably so the whole sketch — not
+just the estimate — carries a FULL DuckDB oracle.
+
+Determinism contract (the bloom.py recipe): the hash is a 60-bit integer
+from 15 hex chars of md5 (identical in any engine), register = h mod m,
+and the rank is TRAILING-zeros-of-payload + 1 computed with pure integer
+ops — lowbit = p & -p, rank = length(bin(lowbit)) — no log2/pow whose
+last ulp could differ across libms. The estimator's 2^-M terms are
+exact powers of two built by integer shift then divided, and the
+register fold runs in sorted register order, so even the double-typed
+estimate is bitwise reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+M_REGS = 64  # 2^6 registers; standard error 1.04/sqrt(64) ~ 13%
+_MAX_RANK = 55  # payload is 60 - 6 = 54 bits; all-zero payload -> 55
+_ALPHA = "0.709"  # alpha_64 (Flajolet et al. 2007, m = 64)
+
+
+def hll_sketch(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    window_sec: int = 3600,
+) -> DataFrame:
+    """Tier-1 sketches: (window_start, reg, M) — max rank per register per
+    tumbling window. One map-side-combined groupBy; rows per window are
+    capped at m=64 regardless of event volume."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key).cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    e = events.select(
+        (
+            (F.unix_timestamp(F.col(ts)).cast("long") / window_sec).cast("long")
+            * window_sec
+        ).alias("window_start"),
+        h.alias("h"),
+    )
+    r = e.select(
+        "window_start",
+        (F.col("h") % M_REGS).cast("long").alias("reg"),
+        F.expr(f"h div {M_REGS}").alias("p"),
+    )
+    rank = F.when(F.col("p") == 0, F.lit(_MAX_RANK)).otherwise(
+        F.length(F.bin(F.expr("p & -p")))
+    )
+    return (
+        r.select("window_start", "reg", rank.cast("long").alias("rank"))
+        .groupBy("window_start", "reg")
+        .agg(F.max("rank").alias("M"))
+    )
+
+
+def hll_merge(sketch: DataFrame, fanout: int, window_sec: int = 3600) -> DataFrame:
+    """Tier k+1 sketches from tier k: elementwise register MAX per parent
+    window — the exact re-aggregation identity (equals sketching the raw
+    events at the coarser window directly; tested bitwise)."""
+    parent = window_sec * fanout
+    ws = F.expr(f"window_start div {parent} * {parent}").alias("window_start")
+    return sketch.groupBy(ws, "reg").agg(F.max("M").alias("M"))
+
+
+def hll_estimate(sketch: DataFrame) -> DataFrame:
+    """Per-window raw HLL estimate + empty-register count.
+
+    est = alpha_m * m^2 / (sum_j 2^-M_j) with the sum folded in register
+    order (sorted struct array) and empty registers appended as
+    (m - present) * 2^-0 — every double op deterministic, so the oracle
+    matches the estimate bitwise, not just approximately. The raw
+    estimator is emitted (v_empty lets callers apply the linear-counting
+    small-range correction, whose ln() would not be cross-engine exact).
+    """
+    per = sketch.groupBy("window_start").agg(
+        F.sort_array(F.collect_list(F.struct("reg", "M"))).alias("rm")
+    )
+    s = F.expr(
+        "aggregate(rm, cast(0.0 as double), (acc, x) -> "
+        "acc + cast(1.0 as double) / cast(shiftleft(cast(1 as bigint), x.M) as double))"
+        f" + cast({M_REGS} - size(rm) as double)"
+    )
+    est = F.expr(f"cast('{_ALPHA}' as double) * cast({M_REGS * M_REGS} as double)") / s
+    return per.select(
+        "window_start",
+        (F.lit(M_REGS) - F.size("rm")).cast("long").alias("v_empty"),
+        est.alias("est_distinct"),
+    )
+
+
+def hll_rollup(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    window_sec: int = 3600,
+    fanout: int = 4,
+) -> DataFrame:
+    """Two-tier distinct-user rollup: tier 1 at window_sec, tier 2 merged
+    from tier 1 registers (never from raw events). Output:
+    (tier, window_start, v_empty, est_distinct)."""
+    t1 = hll_sketch(events, key, ts, window_sec)
+    t2 = hll_merge(t1, fanout, window_sec)
+    e1 = hll_estimate(t1).select(F.lit(1).cast("int").alias("tier"), "*")
+    e2 = hll_estimate(t2).select(F.lit(2).cast("int").alias("tier"), "*")
+    return e1.unionByName(e2)

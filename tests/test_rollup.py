@@ -157,3 +157,43 @@ def test_histogram_merge_equals_direct(spark):
         .toPandas().sort_values(["doc_id", "window_start"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(merged, direct[merged.columns], check_dtype=False)
+
+
+def test_hll_merge_identity_and_accuracy(spark):
+    """Tier-2 sketches merged from tier-1 registers equal sketching the
+    raw events at the coarse window directly (bitwise — the mergeability
+    contract); the estimate lands within the ~13% standard error band of
+    the true distinct count for a 500-distinct-key window."""
+    import pandas as pd
+
+    from crossai_ts_spark.operators.hll import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(4000):
+        # 500 distinct users, heavy repetition, spread over 8 hours
+        rows.append((i, f"2024-01-01 0{i % 8}:0{i % 6}:1{i % 5}", i * 37 % 500))
+    ev = spark.createDataFrame(rows, "event_id long, ts_s string, user_id long").select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id"
+    )
+    t1 = hll_sketch(ev, window_sec=3600)
+    t2 = hll_merge(t1, fanout=4, window_sec=3600)
+    direct = hll_sketch(ev, window_sec=14400)
+    key = ["window_start", "reg"]
+    a = t2.toPandas().sort_values(key).reset_index(drop=True)
+    b = direct.toPandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    # one coarse window holds users {0..499}: estimate within 3 sigma
+    est = hll_estimate(direct).toPandas()
+    w0 = est[est.window_start == est.window_start.min()].iloc[0]
+    true = 500
+    assert abs(w0.est_distinct - true) / true < 3 * 1.04 / (64 ** 0.5)
+    # determinism: same input -> identical doubles
+    est2 = hll_estimate(hll_sketch(ev, window_sec=14400)).toPandas()
+    assert sorted(est.est_distinct) == sorted(est2.est_distinct)
