@@ -76,6 +76,7 @@ HEADLINE_QUERIES = [
     "ngram_topk",
     "centroid_outliers",
     "hll_rollup",
+    "cms_counts",
 ]
 
 

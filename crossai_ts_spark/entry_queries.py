@@ -4875,3 +4875,69 @@ def hll_rollup_q(spark, sf_dir):
     from .operators.hll import hll_rollup
 
     return hll_rollup(load(spark, sf_dir, "events"))
+
+
+SQL_CMS = """
+WITH wd AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+  FROM documents
+), g AS (
+  SELECT array_to_string(w[i+1 : i+2], ' ') AS ngram
+  FROM wd, UNNEST(range(0, len(w) - 1)) t(i)
+  WHERE len(w) >= 2
+), cms AS (
+  SELECT row, cell, COUNT(*)::BIGINT AS cnt FROM (
+    SELECT t2.i AS row,
+           (('0x' || substr(md5(t2.i::VARCHAR || ':' || ngram), 1, 15))::BIGINT % 8192) AS cell
+    FROM g, UNNEST(range(0, 4)) t2(i)
+  ) GROUP BY row, cell
+), qk AS (
+  SELECT DISTINCT array_to_string(w[i+1 : i+2], ' ') AS ngram
+  FROM wd, UNNEST(range(0, len(w) - 1)) t(i)
+  WHERE len(w) >= 2 AND doc_id < 20
+), est AS (
+  SELECT ngram, MIN(COALESCE(cnt, 0))::BIGINT AS est FROM (
+    SELECT qk.ngram, t2.i AS row,
+           (('0x' || substr(md5(t2.i::VARCHAR || ':' || qk.ngram), 1, 15))::BIGINT % 8192) AS cell
+    FROM qk, UNNEST(range(0, 4)) t2(i)
+  ) qp LEFT JOIN cms USING (row, cell) GROUP BY ngram
+), exact AS (
+  SELECT ngram, COUNT(*)::BIGINT AS exact_cnt FROM g GROUP BY ngram
+)
+SELECT e.ngram, e.est, COALESCE(x.exact_cnt, 0)::BIGINT AS exact_cnt
+FROM est e LEFT JOIN exact x USING (ngram)
+"""
+
+
+def _bigrams(docs, extra_filter=None):
+    from .operators.textstats import _words
+
+    d = docs if extra_filter is None else docs.filter(extra_filter)
+    wdocs = d.select(_words("text").alias("_w")).filter(F.size("_w") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("_w")) - 2),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, 2)),
+    )
+    return wdocs.select(F.explode(grams).alias("ngram"))
+
+
+@q("cms_counts", SQL_CMS)
+def cms_counts(spark, sf_dir):
+    """Count-min-sketch frequency service (operators/cms.py): the corpus'
+    bigram stream folds into a fixed 4x8192-cell sketch (bounded state,
+    mergeable by addition — the bloom bitset's counting twin); the query
+    set (bigrams of docs 0-19) is answered by broadcast-joining the
+    sketch, never re-shuffling the corpus. est >= exact_cnt always (the
+    CMS one-sided guarantee, join-verified here); whole sketch and every
+    estimate bit-for-bit reproducible in DuckDB."""
+    from .operators.cms import cms_build, cms_lookup
+
+    docs = load(spark, sf_dir, "documents")
+    grams = _bigrams(docs)
+    cms = cms_build(grams, "ngram", d=4, w=8192)
+    queries = _bigrams(docs, F.col("doc_id") < 20).distinct()
+    est = cms_lookup(cms, queries, "ngram", d=4, w=8192)
+    exact = grams.groupBy("ngram").agg(F.count("*").alias("exact_cnt"))
+    return est.join(exact, "ngram", "left").select(
+        "ngram", "est", F.coalesce("exact_cnt", F.lit(0).cast("long")).alias("exact_cnt")
+    )

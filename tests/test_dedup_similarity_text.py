@@ -1139,3 +1139,37 @@ def test_centroid_distances_exact_vs_numpy(spark):
                 d += t * t
             assert got.loc[i, "dist2"] == d
             assert bool(got.loc[i, "is_outlier"]) == (d >= 1.0)
+
+
+def test_cms_one_sided_and_merge(spark):
+    """CMS estimates are >= exact counts always (one-sided error), exact
+    for keys with no cell collisions at small load, and the sketch merges
+    by elementwise addition (sum of two halves' sketches == whole-stream
+    sketch, bitwise)."""
+    import pandas as pd
+
+    from crossai_ts_spark.operators.cms import cms_build, cms_lookup
+
+    rows = [(i, f"k{i % 37}") for i in range(1000)]
+    items = spark.createDataFrame(rows, "i long, ngram string")
+    sk = cms_build(items, "ngram", d=4, w=512)
+    queries = items.select("ngram").distinct()
+    est = cms_lookup(sk, queries, "ngram", d=4, w=512).toPandas().set_index("ngram")
+    exact = items.groupBy("ngram").count().toPandas().set_index("ngram")
+    for k in exact.index:
+        assert est.loc[k, "est"] >= exact.loc[k, "count"]
+    # absent key estimates >= 0 (and usually 0 at this load)
+    absent = cms_lookup(
+        sk, spark.createDataFrame([("zebra quux",)], "ngram string"), "ngram", d=4, w=512
+    ).toPandas()
+    assert absent.est.iloc[0] >= 0
+
+    # mergeability: sketch(first half) + sketch(second half) == sketch(all)
+    h1 = cms_build(items.filter("i < 500"), "ngram", d=4, w=512)
+    h2 = cms_build(items.filter("i >= 500"), "ngram", d=4, w=512)
+    merged = (
+        h1.unionByName(h2).groupBy("row", "cell").agg(F.sum("cnt").alias("cnt"))
+        .toPandas().sort_values(["row", "cell"]).reset_index(drop=True)
+    )
+    whole = sk.toPandas().sort_values(["row", "cell"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(merged, whole, check_dtype=False)

@@ -53,12 +53,14 @@ def test_rotation_survives_missing_artifacts(tmp_path, monkeypatch):
     assert list(e.queries()) == list(REGISTRY)
 
 
-def test_no_query_exceeds_two_round_staleness():
-    """The driver checks the first ~50 of queries() per round; with the
-    registry growing past 100 the invariant that matters is: every query
-    whose latest driver row predates the previous round sits INSIDE the
-    first 50, so max staleness stays bounded at 2 rounds. Guards against
-    a registry growth spurt silently pushing a query past that."""
+def test_rotation_staleness_stays_bounded():
+    """The driver checks the first ~50 of queries() per round. Invariant:
+    every query whose latest driver row predates the previous round sits
+    INSIDE the window — except when a round registers so many NEW queries
+    that overdue > 50, which no ordering can fix. In that overflow case
+    the guard is (a) the overflow is exactly the mathematical minimum,
+    and (b) only previously-green (checked-before) queries are bumped —
+    a never-checked query must never wait an extra round."""
     e = _entry()
     last = e._last_checked()
     if not last:
@@ -68,7 +70,9 @@ def test_no_query_exceeds_two_round_staleness():
     head = set(names[:50])
     overdue = [n for n in names if last.get(n, 0) < current_round - 1]
     missed = [n for n in overdue if n not in head]
-    assert not missed, (
-        f"{len(missed)} queries older than round {current_round - 1} fall "
-        f"outside the 50-query driver window: {missed[:10]}"
+    assert len(missed) <= max(0, len(overdue) - 50), (
+        f"{len(missed)} overdue queries outside the 50-query driver window "
+        f"(minimum possible {max(0, len(overdue) - 50)}): {missed[:10]}"
     )
+    for n in missed:
+        assert n in last, f"never-checked query {n} bumped out of the window"
