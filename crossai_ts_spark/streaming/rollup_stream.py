@@ -75,7 +75,8 @@ def incremental_tier1(chunked: DataFrame, w: int = 64) -> DataFrame:
 
     Ordering contract: chunks of one doc must arrive in chunk_idx order
     across triggers (in production: per-key ordered source partitions,
-    e.g. keyed Kafka). Within a trigger, chunks are sorted locally.
+    e.g. keyed Kafka). Within a trigger, rows are chunk_idx-sorted
+    globally across however many Arrow batches deliver them.
     """
     import numpy as np
     import pandas as pd
@@ -98,8 +99,12 @@ def incremental_tier1(chunked: DataFrame, w: int = 64) -> DataFrame:
                 (doc_id, source, ws_, mn_, mx_, sm_, cnt_, lst_, sm_ / cnt_)
             )
 
-        for pdf in pdfs:
-            pdf = pdf.sort_values("chunk_idx")
+        # one trigger's group data may arrive as MULTIPLE Arrow chunks
+        # (past maxRecordsPerBatch): materialize and sort chunk_idx
+        # globally, not per-chunk — the same fix streaming_packing carries
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("chunk_idx")
             for toks, is_last, src in zip(pdf["tokens"], pdf["is_last"], pdf["source"]):
                 source = src if source is None else source
                 arr = np.asarray(toks, dtype=np.int64)
@@ -260,4 +265,62 @@ def streaming_packing(stream: DataFrame, seq_len: int = 2048, by: str = "source"
     )
     return stream.groupBy(by).applyInPandasWithState(
         fn, out_schema, "off long", "append", "NoTimeout"
+    )
+
+
+def streaming_hll(stream: DataFrame, key: str = "user_id", ts_col: str = "ts",
+                  window_sec: int = 3600) -> DataFrame:
+    """Stateful streaming distinct-count sketches (the streaming face of
+    operators/hll): GroupState per tumbling window carries the 64
+    register maxima — BOUNDED state per window regardless of event
+    volume, the whole point of sketching a stream — and every trigger
+    emits the window's refreshed (v_empty, est_distinct) plus the
+    monotone n_events cursor (latest row per window = current estimate).
+    Hashing and estimator mirror operators/hll bit-for-bit, so feeding
+    the same events reproduces the batch estimates EXACTLY
+    (parity-tested)."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..operators.hll import M_REGS, _MAX_RANK
+
+    win = (
+        (F.unix_timestamp(F.col(ts_col)).cast("long") / window_sec).cast("long")
+        * window_sec
+    ).alias("window_start")
+    keyed = stream.select(win, F.col(key).cast("string").alias("k"))
+
+    def fn(fkey, pdfs, state):
+        (ws,) = fkey
+        if state.exists:
+            regs, n = list(state.get[0]), state.get[1]
+        else:
+            regs, n = [0] * M_REGS, 0
+        for pdf in pdfs:
+            for k in pdf["k"]:
+                h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+                reg, p = h % M_REGS, h // M_REGS
+                rank = _MAX_RANK if p == 0 else ((p & -p).bit_length())
+                if rank > regs[reg]:
+                    regs[reg] = rank
+                n += 1
+        state.update((regs, n))
+        present = [(j, m) for j, m in enumerate(regs) if m > 0]
+        s = 0.0
+        for _, m in present:  # ascending register order, the batch fold order
+            s += 1.0 / float(1 << m)
+        s += float(M_REGS - len(present))
+        est = (float("0.709") * float(M_REGS * M_REGS)) / s
+        yield pd.DataFrame(
+            [(ws, n, M_REGS - len(present), est)],
+            columns=["window_start", "n_events", "v_empty", "est_distinct"],
+        )
+
+    return keyed.groupBy("window_start").applyInPandasWithState(
+        fn,
+        "window_start long, n_events long, v_empty long, est_distinct double",
+        "regs array<long>, n long",
+        "append",
+        "NoTimeout",
     )

@@ -466,3 +466,44 @@ def test_streaming_packing_multi_chunk_trigger(spark, tmp_path):
     )
     assert len(got) == 200
     pd.testing.assert_frame_equal(got[batch.columns], batch, check_dtype=False)
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    """GroupState HLL: bounded per-window register state across triggers;
+    the LAST emission per window (max n_events) equals the batch
+    hll_estimate EXACTLY — same hash, same fold order, same doubles."""
+    import pandas as pd
+
+    from crossai_ts_spark.operators.hll import hll_estimate, hll_sketch
+    from crossai_ts_spark.streaming.rollup_stream import run_to_memory, streaming_hll
+
+    rows = [(i, f"2024-01-01 0{i % 4}:1{i % 5}:2{i % 3}", i * 13 % 97) for i in range(600)]
+    schema = "event_id long, ts_s string, user_id long"
+    in_dir = tmp_path / "hll_stream"
+    spark.createDataFrame(rows[:300], schema).coalesce(1).write.parquet(str(in_dir / "b0"))
+    spark.createDataFrame(rows[300:], schema).coalesce(1).write.parquet(str(in_dir / "b1"))
+
+    raw = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(in_dir) + "/*"
+    )
+    ev = raw.select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id")
+    run_to_memory(streaming_hll(ev, window_sec=3600), "hll_stream_out")
+    emitted = spark.sql("SELECT * FROM hll_stream_out").toPandas()
+    final = (
+        emitted.sort_values("n_events").groupby("window_start").last().reset_index()
+    )
+
+    batch_ev = spark.createDataFrame(rows, schema).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id"
+    )
+    want = (
+        hll_estimate(hll_sketch(batch_ev, window_sec=3600))
+        .toPandas().sort_values("window_start").reset_index(drop=True)
+    )
+    got = final.sort_values("window_start").reset_index(drop=True)
+    assert len(got) == len(want) == 4
+    pd.testing.assert_frame_equal(
+        got[["window_start", "v_empty", "est_distinct"]],
+        want[["window_start", "v_empty", "est_distinct"]],
+        check_dtype=False,
+    )
