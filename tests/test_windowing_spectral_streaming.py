@@ -507,3 +507,50 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
         want[["window_start", "v_empty", "est_distinct"]],
         check_dtype=False,
     )
+
+
+def test_incremental_tier1_multi_arrow_chunk_trigger(spark, tmp_path):
+    """One trigger delivering a doc's 30 chunks across MULTIPLE Arrow
+    batches (maxRecordsPerBatch=4), written in REVERSED chunk_idx order:
+    the global trigger-wide sort must reassemble the token stream exactly
+    (per-chunk sorting would scramble offsets)."""
+    import pandas as pd
+
+    from crossai_ts_spark.operators.rollup import rollup_native
+    from crossai_ts_spark.streaming.rollup_stream import incremental_tier1, run_to_memory
+
+    w = 64
+    toks = [(i * 29) % 251 for i in range(900)]
+    chunks = [toks[i * 30 : (i + 1) * 30] for i in range(30)]
+    rows = [
+        ("d0", ci, chunks[ci], ci == len(chunks) - 1, "s")
+        for ci in reversed(range(len(chunks)))
+    ]
+    in_dir = tmp_path / "one_trigger"
+    spark.createDataFrame(
+        rows, "doc_id string, chunk_idx long, tokens array<int>, is_last boolean, source string"
+    ).coalesce(1).write.parquet(str(in_dir / "t0"))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        stream = spark.readStream.schema(
+            "doc_id string, chunk_idx long, tokens array<int>, is_last boolean, source string"
+        ).parquet(str(in_dir) + "/t*")
+        run_to_memory(incremental_tier1(stream, w=w), "inc_chunky")
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = (
+        spark.sql("SELECT * FROM inc_chunky").toPandas()
+        .sort_values("window_start").reset_index(drop=True)
+    )
+    seqs = spark.createDataFrame(
+        [("d0", toks, len(toks), "s")], "doc_id string, tokens array<int>, n_tok long, source string"
+    )
+    want = (
+        rollup_native(seqs, w=w).toPandas()
+        .sort_values("window_start").reset_index(drop=True)
+    )
+    cols = ["doc_id", "window_start", "t_min", "t_max", "t_sum", "t_cnt", "t_last", "t_mean"]
+    pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=False)
