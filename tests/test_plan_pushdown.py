@@ -75,3 +75,35 @@ def test_asof_bucketed_plan_partitions_by_bucket(spark):
     r = ev.filter("event_type = 'view'").select("user_id", "ts", "value")
     plan = _plan(asof_join_bucketed(l, r, on="ts", by=["user_id"], bucket_us=3_600_000_000))
     assert "hashpartitioning(user_id" in plan and "_b#" in plan.split("hashpartitioning(user_id", 1)[1][:80], plan
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Co-located joins via bucketed tables: both sides written with
+    bucketBy(8, k).sortBy(k) join WITHOUT any Exchange on either input —
+    the pre-shuffled layout that turns the repeated 100-TB fact-to-fact
+    join into a zero-shuffle sort-merge (the bucketing leg of the
+    'partitioning & shuffle' scale mandate; broadcast disabled so the
+    planner can't hide the shuffle elimination)."""
+    import uuid
+
+    db = f"bkt_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp_path}/{db}'")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        a = spark.range(0, 10000).selectExpr("id % 997 AS k", "id AS va")
+        b = spark.range(0, 5000).selectExpr("id % 997 AS k", "id AS vb")
+        for name, df in (("ta", a), ("tb", b)):
+            df.write.bucketBy(8, "k").sortBy("k").saveAsTable(f"{db}.{name}")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(f"{db}.ta").join(spark.table(f"{db}.tb"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+        # and the join is CORRECT, not just shuffle-free
+        got = j.count()
+        want = a.join(b, "k").count()
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
