@@ -77,6 +77,7 @@ HEADLINE_QUERIES = [
     "centroid_outliers",
     "hll_rollup",
     "cms_counts",
+    "apply_mixing",
 ]
 
 

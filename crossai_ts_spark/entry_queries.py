@@ -4941,3 +4941,52 @@ def cms_counts(spark, sf_dir):
     return est.join(exact, "ngram", "left").select(
         "ngram", "est", F.coalesce("exact_cnt", F.lit(0).cast("long")).alias("exact_cnt")
     )
+
+
+SQL_APPLY_MIXING = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, length(text)::BIGINT AS n_tok
+  FROM documents WHERE length(text) > 0
+), s AS (
+  SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(n_tok)::BIGINT AS n_tokens
+  FROM d GROUP BY source
+), p AS (
+  SELECT source, n_docs, n_tokens,
+         floor(pow(n_tokens::DOUBLE, CAST(0.7 AS DOUBLE)) * 1048576.0)::BIGINT AS w_q
+  FROM s
+), g AS (
+  SELECT SUM(w_q)::BIGINT AS tot, SUM(n_tokens)::BIGINT AS all_tok FROM p
+), thr AS (
+  SELECT source,
+         floor(least(CAST(1.0 AS DOUBLE),
+           (floor(all_tok::DOUBLE * CAST(0.5 AS DOUBLE))::DOUBLE
+            * (w_q::DOUBLE / tot::DOUBLE)) / n_tokens::DOUBLE)
+           * 1152921504606846976.0)::BIGINT AS thr
+  FROM p, g
+)
+SELECT d.source, COUNT(*)::BIGINT AS n_kept, SUM(d.n_tok)::BIGINT AS kept_tokens
+FROM d JOIN thr USING (source)
+WHERE ('0x' || substr(md5(d.doc_id || ':mix'), 1, 15))::BIGINT < thr
+GROUP BY d.source
+"""
+
+
+@q("apply_mixing", SQL_APPLY_MIXING)
+def apply_mixing_q(spark, sf_dir):
+    """Temperature-mixing application (operators/mixing.py): subsample
+    each source to its n_tokens^0.7 share of a half-corpus token budget
+    via the deterministic keep-iff-hash-below-threshold rule — the mixed
+    corpus is identical across engines/runs/retries (no RNG state), which
+    is what makes the sampling step resumable at 10^12 docs. Output is
+    the per-source kept inventory."""
+    from .operators.mixing import apply_mixing
+
+    docs = load(spark, sf_dir, "documents")
+    t = F.floor(
+        F.col("_all_tok").cast("double") * F.expr("cast(0.5 as double)")
+    ).cast("double")
+    kept = apply_mixing(docs, t)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.length("text")).cast("long").alias("kept_tokens"),
+    )

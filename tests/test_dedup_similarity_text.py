@@ -1173,3 +1173,29 @@ def test_cms_one_sided_and_merge(spark):
     )
     whole = sk.toPandas().sort_values(["row", "cell"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(merged, whole, check_dtype=False)
+
+
+def test_apply_mixing_semantics(spark):
+    """Temperature mixing: the low-resource source keeps everything
+    (rate clamps at 1), the hot source is subsampled near its computed
+    rate, and the kept set is identical across reruns and repartitioning
+    (pure hash decision — the resumability property)."""
+    from crossai_ts_spark.operators.mixing import apply_mixing, mixing_thresholds
+
+    rows = [(i, "x" * 100, "en", "hot" if i < 900 else "rare") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    T = 80_000.0  # 80% of the 100k corpus tokens
+
+    thr = mixing_thresholds(docs, T).toPandas().set_index("source")
+    # temperature upweights the rare shard: its rate clamps to 1.0
+    assert thr.loc["rare", "thr"] == 2**60
+    assert thr.loc["hot", "thr"] < 2**60
+
+    kept = apply_mixing(docs, T).toPandas()
+    assert (kept[kept.source == "rare"].shape[0]) == 100  # all kept
+    hot_kept = (kept.source == "hot").sum()
+    hot_rate = thr.loc["hot", "thr"] / 2**60
+    assert abs(hot_kept - 900 * hot_rate) < 900 * 0.1  # hash-uniformity band
+
+    again = apply_mixing(docs.repartition(13), T).toPandas()
+    assert sorted(again.doc_id) == sorted(kept.doc_id)
