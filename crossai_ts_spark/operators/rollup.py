@@ -326,37 +326,54 @@ def rollup_histogram(
     median_bucket is the first bucket whose cumulative count reaches
     half the window total.
 
-    SINGLE-PASS fold: each window's tokens are bucketed once, then one
-    aggregate carries the whole n_buckets-slot count array, updating one
-    slot per token (two slices + concat = one JVM array copy). The
-    round-4 shape ran one full fold PER BUCKET — O(w x nb) slice scans
-    with per-element CASE evaluation, ~9 min per 515 M-token run at
-    nb=64 in the round-5 stress pass. The rewrite is count-identical
-    (same oracle) and faster, but HOF lambdas evaluate INTERPRETED per
-    element, so per-token cost still carries the O(nb) array copy: fine
-    at the nb=16 default, wrong for wide histograms — use
-    :func:`rollup_histogram_pandas` (bincount, per-token O(1)) past
-    nb~16; the stress table in BENCH/BASELINE.md has both measured.
+    Fold shape is ADAPTIVE on n_buckets — HOF lambdas evaluate
+    INTERPRETED per element, so both native shapes carry an O(nb) term
+    and the constant decides (measured head-to-head on the sf0.1 corpus
+    and the 255 M-token stress input, BENCH/BASELINE.md):
+
+      nb <= 16: one fold PER BUCKET over the window slice (tight
+                scalar CASE accumulator; 2.4 s vs 3.2 s at nb=16) —
+                allocation-free beats copy-free at small nb;
+      nb  > 16: bucket each token once, then ONE aggregate carrying the
+                nb-slot count array (two slices + concat per token;
+                348 s vs ~540 s at nb=64 on 255 M tokens).
+
+    Both are count-identical (same oracle). For wide histograms or raw
+    speed at any nb use :func:`rollup_histogram_pandas` (np.bincount,
+    per-token O(1), 0.87 s / 52.7 M tokens/s on the same inputs).
     """
-    bids = (
-        f"transform(slice(tokens, wi * {w} + 1, {w}), "
-        f"t -> cast(least((t * {n_buckets}) div {vmax}, {n_buckets - 1}) as int))"
-    )
-    hist = (
-        f"aggregate({bids}, array_repeat(cast(0 as bigint), {n_buckets}), "
-        f"(acc, j) -> concat(slice(acc, 1, j), array(acc[j] + 1), "
-        f"slice(acc, j + 2, {n_buckets} - j - 1)))"
-    )
-    spine = (
-        f"transform(sequence(0, cast(ceil(n_tok / cast({w} as double)) as int) - 1), "
-        f"wi -> named_struct('window_start', cast(wi as bigint) * {w}, 'h', {hist}))"
-    )
+    if n_buckets <= 16:
+        folds = ", ".join(
+            f"'b{b}', aggregate(slice(tokens, wi * {w} + 1, {w}), cast(0 as bigint), "
+            f"(a, t) -> a + CASE WHEN least((t * {n_buckets}) div {vmax}, {n_buckets - 1}) = {b} "
+            f"THEN 1 ELSE 0 END)"
+            for b in range(n_buckets)
+        )
+        spine = (
+            f"transform(sequence(0, cast(ceil(n_tok / cast({w} as double)) as int) - 1), "
+            f"wi -> named_struct('window_start', cast(wi as bigint) * {w}, {folds}))"
+        )
+        bcols = [F.col(f"hw.b{b}").alias(f"b{b}") for b in range(n_buckets)]
+    else:
+        bids = (
+            f"transform(slice(tokens, wi * {w} + 1, {w}), "
+            f"t -> cast(least((t * {n_buckets}) div {vmax}, {n_buckets - 1}) as int))"
+        )
+        hist = (
+            f"aggregate({bids}, array_repeat(cast(0 as bigint), {n_buckets}), "
+            f"(acc, j) -> concat(slice(acc, 1, j), array(acc[j] + 1), "
+            f"slice(acc, j + 2, {n_buckets} - j - 1)))"
+        )
+        spine = (
+            f"transform(sequence(0, cast(ceil(n_tok / cast({w} as double)) as int) - 1), "
+            f"wi -> named_struct('window_start', cast(wi as bigint) * {w}, 'h', {hist}))"
+        )
+        bcols = [F.col("hw.h")[b].alias(f"b{b}") for b in range(n_buckets)]
     out = (
         df.filter(F.col("n_tok") > 0)
         .withColumn("_h", F.expr(spine))
         .select("doc_id", F.explode("_h").alias("hw"))
-        .select("doc_id", F.col("hw.window_start").alias("window_start"),
-                *[F.col("hw.h")[b].alias(f"b{b}") for b in range(n_buckets)])
+        .select("doc_id", F.col("hw.window_start").alias("window_start"), *bcols)
     )
     arr = "array(" + ", ".join(f"b{b}" for b in range(n_buckets)) + ")"
     total = " + ".join(f"b{b}" for b in range(n_buckets))
