@@ -78,6 +78,7 @@ HEADLINE_QUERIES = [
     "hll_rollup",
     "cms_counts",
     "apply_mixing",
+    "kmv_windows",
 ]
 
 

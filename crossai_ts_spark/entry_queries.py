@@ -4990,3 +4990,41 @@ def apply_mixing_q(spark, sf_dir):
         F.count("*").alias("n_kept"),
         F.sum(F.length("text")).cast("long").alias("kept_tokens"),
     )
+
+
+SQL_KMV = """
+WITH e AS (
+  SELECT (floor(epoch(ts))::BIGINT // 3600) * 3600 AS window_start,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+), d AS (
+  SELECT DISTINCT window_start, h FROM e
+), s AS (
+  SELECT window_start, list(h ORDER BY h)[1:8] AS ks
+  FROM d GROUP BY window_start
+)
+SELECT window_start, array_to_string(ks, ',') AS ks_csv,
+       CASE WHEN len(ks) < 8 THEN len(ks)::DOUBLE
+            ELSE CAST(7 AS DOUBLE) / (ks[8]::DOUBLE / 1152921504606846976.0)
+       END AS n_distinct_est
+FROM s
+"""
+
+
+@q("kmv_windows", SQL_KMV)
+def kmv_windows(spark, sf_dir):
+    """Bottom-k (KMV) sketch per hour window (operators/hll.kmv_sketch):
+    a mergeable uniform sample of each window's distinct users AND a
+    second distinct estimator cross-checking HLL — built two-phase
+    (per-hash-shard partial bottom-ks, then a k-length merge) so no
+    reducer holds a whole window's key set. Sample hashes joined to a
+    CSV column for a stable cross-engine value hash."""
+    from .operators.hll import kmv_sketch
+
+    ev = load(spark, sf_dir, "events")
+    out = kmv_sketch(ev, window_sec=3600, k=8)
+    return out.select(
+        "window_start",
+        F.concat_ws(",", F.transform(F.col("ks"), lambda x: x.cast("string"))).alias("ks_csv"),
+        "n_distinct_est",
+    )

@@ -111,3 +111,56 @@ def hll_rollup(
     e1 = hll_estimate(t1).select(F.lit(1).cast("int").alias("tier"), "*")
     e2 = hll_estimate(t2).select(F.lit(2).cast("int").alias("tier"), "*")
     return e1.unionByName(e2)
+
+
+def kmv_sketch(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    window_sec: int = 3600,
+    k: int = 8,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Bottom-k (KMV) sketch per tumbling window: the k smallest distinct
+    60-bit key hashes — simultaneously a MERGEABLE uniform sample of the
+    window's distinct keys (min-hash sampling: the bottom-k of a hash
+    order is a uniform draw without replacement) and a second distinct
+    estimator, (k-1) / (h_k / 2^60) (Bar-Yossef et al. 2002), cross-
+    checking HLL. Merge rule: bottom-k of a union = bottom-k of the
+    concatenated per-part bottom-ks (tested bitwise) — so per-day
+    sketches roll up to weeks like every other tier.
+
+    Scale shape: collect_set does not truncate map-side, so the bottom-k
+    is TWO-PHASE — per (window, salt) partials hold that hash-shard's
+    distinct set (~D/n_salts keys: size n_salts to bound a reducer),
+    sliced to k before the final merge of n_salts k-length lists per
+    window; no reducer ever materializes a whole window's key set.
+    Salting by h mod n_salts keeps equal keys in one shard, so the
+    per-shard distinct sets union to the global distinct set exactly.
+    Output: (window_start, ks array<long> ascending, n_distinct_est).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key).cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    e = events.select(
+        (
+            (F.unix_timestamp(F.col(ts)).cast("long") / window_sec).cast("long")
+            * window_sec
+        ).alias("window_start"),
+        h.alias("h"),
+    ).withColumn("_salt", F.pmod(F.col("h"), F.lit(n_salts)).cast("int"))
+    partial = e.groupBy("window_start", "_salt").agg(
+        F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("pk")
+    )
+    merged = partial.groupBy("window_start").agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("pk"))), 1, k).alias("ks")
+    )
+    # distinct hashes dedupe globally across salts because salt = h mod S
+    # (equal keys share a salt); estimate only when the sketch is full
+    kth = F.element_at("ks", k)
+    est = F.when(
+        F.size("ks") < k, F.size("ks").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / (kth.cast("double") / F.lit(1152921504606846976.0))
+    )
+    return merged.select("window_start", "ks", est.alias("n_distinct_est"))
