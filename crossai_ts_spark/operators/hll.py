@@ -113,6 +113,73 @@ def hll_rollup(
     return e1.unionByName(e2)
 
 
+_H60 = 1152921504606846976  # 2^60; key hashes are uniform on [0, 2^60)
+
+
+def _kmv_hashed(events: DataFrame, key: str, ts: str, window_sec: int) -> DataFrame:
+    """(window_start, h) projection shared by every KMV phase — the same
+    md5-derived 60-bit hash family as the HLL sketch above."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key).cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    return events.select(
+        (
+            (F.unix_timestamp(F.col(ts)).cast("long") / window_sec).cast("long")
+            * window_sec
+        ).alias("window_start"),
+        h.alias("h"),
+    )
+
+
+def _kmv_thresholds(e: DataFrame, k: int, candidate_factor: float) -> DataFrame:
+    """Per-window candidate-hash threshold from a cheap HLL distinct
+    estimate: the true bottom-k hashes of a window with D distinct keys
+    all lie below ~k/D * 2^60 in expectation, so `thr = c*k/D_est * 2^60`
+    (c = candidate_factor) keeps ~c*k candidate hashes per window — O(k)
+    state — regardless of whether D is 10^3 or 10^9. The HLL pass itself
+    is bounded (64 registers per window before its shuffle). Windows whose
+    estimate is already <= c*k get thr = 2^60, i.e. no filtering.
+    Output: (window_start, thr, filtered)."""
+    regs = e.select(
+        "window_start",
+        (F.col("h") % M_REGS).cast("long").alias("reg"),
+        F.expr(f"h div {M_REGS}").alias("p"),
+    )
+    rank = F.when(F.col("p") == 0, F.lit(_MAX_RANK)).otherwise(
+        F.length(F.bin(F.expr("p & -p")))
+    )
+    sk = (
+        regs.select("window_start", "reg", rank.cast("long").alias("M"))
+        .groupBy("window_start", "reg")
+        .agg(F.max("M").alias("M"))
+    )
+    ck = float(candidate_factor * k)
+    t = hll_estimate(sk).select(
+        "window_start",
+        F.when(F.col("est_distinct") <= F.lit(ck), F.lit(_H60).cast("long"))
+        .otherwise(
+            F.ceil(F.lit(ck) * F.lit(float(_H60)) / F.col("est_distinct")).cast("long")
+        )
+        .alias("thr"),
+    )
+    return t.withColumn("filtered", F.col("thr") < F.lit(_H60))
+
+
+def _kmv_bottom_k(e: DataFrame, k: int, n_salts: int) -> DataFrame:
+    """Two-phase exact bottom-k of distinct hashes per window: per
+    (window, salt = h mod n_salts) partial bottom-ks (equal keys share a
+    salt, so per-shard distinct sets union to the global distinct set
+    exactly), then one merge of n_salts k-length lists per window — no
+    reducer ever materializes a whole window's key set."""
+    e2 = e.withColumn("_salt", F.pmod(F.col("h"), F.lit(n_salts)).cast("int"))
+    partial = e2.groupBy("window_start", "_salt").agg(
+        F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("pk")
+    )
+    return partial.groupBy("window_start").agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("pk"))), 1, k).alias("ks")
+    )
+
+
 def kmv_sketch(
     events: DataFrame,
     key: str = "user_id",
@@ -120,6 +187,8 @@ def kmv_sketch(
     window_sec: int = 3600,
     k: int = 8,
     n_salts: int = 16,
+    candidate_factor: float = 64.0,
+    prefilter: bool = True,
 ) -> DataFrame:
     """Bottom-k (KMV) sketch per tumbling window: the k smallest distinct
     60-bit key hashes — simultaneously a MERGEABLE uniform sample of the
@@ -130,37 +199,52 @@ def kmv_sketch(
     concatenated per-part bottom-ks (tested bitwise) — so per-day
     sketches roll up to weeks like every other tier.
 
-    Scale shape: collect_set does not truncate map-side, so the bottom-k
-    is TWO-PHASE — per (window, salt) partials hold that hash-shard's
-    distinct set (~D/n_salts keys: size n_salts to bound a reducer),
-    sliced to k before the final merge of n_salts k-length lists per
-    window; no reducer ever materializes a whole window's key set.
-    Salting by h mod n_salts keeps equal keys in one shard, so the
-    per-shard distinct sets union to the global distinct set exactly.
+    Scale shape (three bounded passes over the narrow (ts, key)
+    projection, never an unbounded buffer):
+
+    1. HLL threshold pass (`_kmv_thresholds`): per-window distinct
+       estimate from 64-register state; thr = candidate_factor * k /
+       D_est * 2^60, broadcast back (one row per window).
+    2. Candidate pass: `h < thr` keeps ~candidate_factor * k hashes per
+       window before any aggregation buffer — a window with 10^9 distinct
+       keys contributes ~512 candidates at the defaults, not 10^9 (the
+       pre-r6 version collect_set the full ~D/n_salts per-shard distinct
+       set). The surviving candidates run the exact two-phase salted
+       bottom-k (`_kmv_bottom_k`), still salted so even a pathological
+       estimate only concentrates ~c*k/n_salts rows per buffer.
+    3. Exactness fallback (statistically ~never taken): a filtered window
+       yielding fewer than k survivors proves the threshold cut too deep
+       (if >= k distinct hashes lie below thr, the true bottom-k all do),
+       so exactly those windows — joined as a broadcast, which AQE prunes
+       to an empty relation when no window is bad — are recomputed
+       unfiltered. Output is therefore BITWISE identical to the
+       unfiltered plan unconditionally, not just with high probability.
+
     Output: (window_start, ks array<long> ascending, n_distinct_est).
+    `prefilter=False` restores the single-pass two-phase plan (used by
+    the boundedness parity test).
     """
-    h = F.conv(
-        F.substring(F.md5(F.col(key).cast("string").cast("binary")), 1, 15), 16, 10
-    ).cast("long")
-    e = events.select(
-        (
-            (F.unix_timestamp(F.col(ts)).cast("long") / window_sec).cast("long")
-            * window_sec
-        ).alias("window_start"),
-        h.alias("h"),
-    ).withColumn("_salt", F.pmod(F.col("h"), F.lit(n_salts)).cast("int"))
-    partial = e.groupBy("window_start", "_salt").agg(
-        F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("pk")
-    )
-    merged = partial.groupBy("window_start").agg(
-        F.slice(F.sort_array(F.flatten(F.collect_list("pk"))), 1, k).alias("ks")
-    )
-    # distinct hashes dedupe globally across salts because salt = h mod S
-    # (equal keys share a salt); estimate only when the sketch is full
+    e = _kmv_hashed(events, key, ts, window_sec)
+    if not prefilter:
+        merged = _kmv_bottom_k(e, k, n_salts)
+    else:
+        thr = _kmv_thresholds(e, k, candidate_factor)
+        cand = (
+            e.join(F.broadcast(thr), "window_start")
+            .filter(F.col("h") < F.col("thr"))
+            .select("window_start", "h")
+        )
+        mf = _kmv_bottom_k(cand, k, n_salts)
+        j = thr.join(mf, "window_start", "left")
+        short = F.col("ks").isNull() | (F.size("ks") < k)
+        good = j.filter(~(F.col("filtered") & short)).select("window_start", "ks")
+        bad = j.filter(F.col("filtered") & short).select("window_start")
+        redo = _kmv_bottom_k(e.join(F.broadcast(bad), "window_start"), k, n_salts)
+        merged = good.unionByName(redo)
     kth = F.element_at("ks", k)
     est = F.when(
         F.size("ks") < k, F.size("ks").cast("double")
     ).otherwise(
-        F.lit(float(k - 1)) / (kth.cast("double") / F.lit(1152921504606846976.0))
+        F.lit(float(k - 1)) / (kth.cast("double") / F.lit(float(_H60)))
     )
     return merged.select("window_start", "ks", est.alias("n_distinct_est"))

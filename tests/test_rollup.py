@@ -234,3 +234,48 @@ def test_kmv_merge_identity_and_estimate(spark):
     assert 0.2 < whole.n_distinct_est / true_distinct < 4
     wide = kmv_sketch(ev, window_sec=3600, k=64).toPandas().iloc[0]
     assert abs(wide.n_distinct_est - true_distinct) / true_distinct < 0.4
+
+
+def test_kmv_prefilter_hot_window_boundedness(spark):
+    """r6 scale fix (hll.py kmv_sketch): in a hot window (10^6 distinct
+    keys) the HLL-derived candidate pre-filter bounds the rows entering
+    any bottom-k aggregation buffer to O(candidate_factor * k) — not
+    O(D/n_salts) — while the output stays bitwise equal to the
+    unfiltered plan; a deliberately starved threshold (candidate_factor
+    < 1) proves the exactness fallback recomputes cut-too-deep windows."""
+    from pyspark.sql import functions as F
+
+    from crossai_ts_spark.operators.hll import (
+        _kmv_hashed,
+        _kmv_thresholds,
+        kmv_sketch,
+    )
+
+    k, c = 8, 64
+    ev = spark.range(1_000_000).select(
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.col("id").alias("user_id"),
+    )
+    e = _kmv_hashed(ev, "user_id", "ts", 3600)
+    thr = _kmv_thresholds(e, k, c)
+    trow = thr.toPandas().iloc[0]
+    assert bool(trow.filtered)  # 10^6 >> c*k: the filter must engage
+    n_cand = e.join(F.broadcast(thr), "window_start").filter("h < thr").count()
+    # expected ~ c*k = 512 candidates (vs 10^6 unfiltered); 8x margin for
+    # the HLL estimate's error band, and never fewer than k
+    assert k <= n_cand <= 8 * c * k
+
+    filtered = kmv_sketch(ev, window_sec=3600, k=k, n_salts=16).toPandas()
+    plain = kmv_sketch(ev, window_sec=3600, k=k, n_salts=16, prefilter=False).toPandas()
+    assert list(filtered.iloc[0].ks) == list(plain.iloc[0].ks)
+    assert filtered.iloc[0].n_distinct_est == plain.iloc[0].n_distinct_est
+
+    # starved threshold: expected <k survivors -> fallback path must
+    # recompute the window unfiltered and still return the exact sketch
+    thr_starved = _kmv_thresholds(e, k, 0.1)
+    n_starved = e.join(F.broadcast(thr_starved), "window_start").filter("h < thr").count()
+    assert n_starved < k
+    starved = kmv_sketch(
+        ev, window_sec=3600, k=k, n_salts=16, candidate_factor=0.1
+    ).toPandas()
+    assert list(starved.iloc[0].ks) == list(plain.iloc[0].ks)
