@@ -174,11 +174,14 @@ def main() -> int:
     n_trials = int(os.environ.get("BENCH_TRIALS", "3"))
     q_secs: dict[str, float] = {}
     q_trials: dict[str, list[float]] = {}
+    q_loads: dict[str, list[list[float]]] = {}
     for name in HEADLINE_QUERIES:
         if name not in qs:
             continue
         trials: list[float] = []
+        loads: list[list[float]] = []
         for _ in range(n_trials):
+            l_before = os.getloadavg()
             t0 = time.monotonic()
             try:
                 df = qs[name](spark, sf_dir)
@@ -188,7 +191,12 @@ def main() -> int:
                 trials.append(-1.0)  # keep earlier good timings: flaky != broken
                 break
             trials.append(round(time.monotonic() - t0, 3))
+            l_after = os.getloadavg()
+            # [load1_before, load5_before, load1_after, load5_after]
+            loads.append([round(l_before[0], 2), round(l_before[1], 2),
+                          round(l_after[0], 2), round(l_after[1], 2)])
         q_trials[name] = trials
+        q_loads[name] = loads
         from crossai_ts_spark.caching import release_tracked
 
         release_tracked()  # drop operator-tracked caches between queries
@@ -199,10 +207,34 @@ def main() -> int:
         q_secs[name] = min(good) if good else -1.0
 
     sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
+    out, full = build_records(rollup, q_secs, q_trials, sf, q_loads=q_loads)
+    trials_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "trials_latest.json")
+    try:
+        os.makedirs(os.path.dirname(trials_path), exist_ok=True)
+        with open(trials_path, "w") as f:
+            json.dump(full, f, indent=1)
+        print(f"[bench] full record with trials -> {trials_path}", file=sys.stderr)
+    except OSError as ex:
+        print(f"[bench] could not write trials artifact: {ex}", file=sys.stderr)
+    print(compact_line(out))
+    return 0
+
+
+def build_records(rollup, q_secs, q_trials, sf, n_tiers: int = 3, q_loads=None):
+    """Compact stdout record + full file artifact from raw measurements.
+
+    Asserts the per-tier breakdown is complete (exactly ``n_tiers``
+    entries): the BASELINE.json metric contract reports throughput per
+    retention tier, and a cascade refactor must not silently drop it.
+    """
     # Full record (with per-trial timings) goes to a file artifact; stdout
     # ends with ONE compact JSON line — the driver captures only the last
     # ~2000 chars of output, and the trials array overflowed that in r3
     # (BENCH_r03.json parsed:null).
+    tier_detail = rollup["tier_detail"]
+    assert len(tier_detail) == n_tiers and all(
+        k in tier_detail for k in range(1, n_tiers + 1)
+    ), f"per-tier breakdown incomplete: {sorted(tier_detail)} != 1..{n_tiers}"
     rollup_compact = {
         "n_docs": rollup["n_docs"],
         "n_tokens": rollup["n_tokens"],
@@ -211,7 +243,7 @@ def main() -> int:
         # metric contract: throughput per retention tier (incremental path)
         "per_tier": {
             str(k): {"rows": d["rows"], "tps": d["tokens_per_sec"]}
-            for k, d in sorted(rollup["tier_detail"].items())
+            for k, d in sorted(tier_detail.items())
         },
     }
     # any -1.0 trial = a crashed trial (even if an earlier trial of the
@@ -231,15 +263,17 @@ def main() -> int:
     }
     full = dict(out)
     full["query_trials"] = q_trials
+    if q_loads is not None:
+        # machine load1/load5 bracketing each trial: lets a reader
+        # attribute wall-clock swings to ambient contention without prose
+        full["query_loadavg"] = q_loads
     full["rollup_full"] = {k: (round(v, 2) if isinstance(v, float) else v) for k, v in rollup.items()}
-    trials_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "trials_latest.json")
-    try:
-        os.makedirs(os.path.dirname(trials_path), exist_ok=True)
-        with open(trials_path, "w") as f:
-            json.dump(full, f, indent=1)
-        print(f"[bench] full record with trials -> {trials_path}", file=sys.stderr)
-    except OSError as ex:
-        print(f"[bench] could not write trials artifact: {ex}", file=sys.stderr)
+    return out, full
+
+
+def compact_line(out) -> str:
+    """Shrink the compact record to the driver's <1500-char capture."""
+    q_secs = out["queries"]
     line = json.dumps(out)
     if len(line) > 1500:  # belt-and-braces: never overflow the capture again
         # keep every failure (-1.0) plus the slowest successes — a flaky
@@ -255,9 +289,18 @@ def main() -> int:
             # drop fastest kept success until the record fits; failures stay
             del kept[min((k for k in kept if kept[k] >= 0), key=lambda k: kept[k])]
             line = json.dumps(out)
+        if len(line) >= 1500:
+            # failures ALONE overflow the record: truncate the failure
+            # lists rather than aborting a bench whose measurements all
+            # completed — n_failed stays the authoritative count and the
+            # full detail is in BENCH/trials_latest.json
+            fails = sorted(k for k, v in kept.items() if v < 0)
+            while len(line) >= 1500 and fails:
+                kept.pop(fails.pop(), None)
+                out["failed"] = fails
+                line = json.dumps(out)
     assert len(line) < 1500, f"bench stdout record too long ({len(line)} chars)"
-    print(line)
-    return 0
+    return line
 
 
 if __name__ == "__main__":

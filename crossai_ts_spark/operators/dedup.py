@@ -19,6 +19,8 @@ Scale notes (the part that matters at 10^12 docs):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -501,15 +503,19 @@ def segment_dedup(
     """
     if seg_words <= 0:
         raise ValueError(f"seg_words must be positive, got {seg_words}")
+    # sep is treated as a LITERAL separator: split on re.escape(sep) (F.split
+    # takes a regex) and rejoin via concat_ws's plain-string separator arg —
+    # never interpolated into SQL text, so quotes/regex metachars are safe
     base = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        F.split(F.col(text), sep).alias("_w"),
+        F.split(F.col(text), re.escape(sep)).alias("_w"),
     ).filter(F.size("_w") > 0)
-    segs_expr = (
-        f"transform(sequence(0, cast(ceil(size(_w) / {seg_words}.0) as int) - 1), "
-        f"si -> concat_ws('{sep}', slice(_w, si * {seg_words} + 1, {seg_words})))"
+    n_segs_col = F.ceil(F.size("_w") / F.lit(float(seg_words))).cast("int")
+    segs_col = F.transform(
+        F.sequence(F.lit(0), n_segs_col - 1),
+        lambda si: F.concat_ws(sep, F.slice("_w", si * seg_words + 1, seg_words)),
     )
-    segs = base.select("doc_id", F.posexplode(F.expr(segs_expr)).alias("seg_idx", "seg"))
+    segs = base.select("doc_id", F.posexplode(segs_col).alias("seg_idx", "seg"))
     dup = (
         segs.groupBy("seg")
         .agg(F.count("*").alias("_c"))

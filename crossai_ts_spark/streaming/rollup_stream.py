@@ -62,6 +62,37 @@ def run_to_memory(df: DataFrame, name: str):
     return q
 
 
+def run_until_rows(df: DataFrame, name: str, n_rows: int, timeout_sec: float = 240.0):
+    """Drive a stream until the memory sink holds >= n_rows, then stop.
+
+    Needed for queries using ProcessingTimeTimeout state: Spark keeps
+    scheduling (empty) micro-batches so timers can fire, which means
+    ``processAllAvailable()`` never observes quiescence and blocks
+    forever — the sink row count is the only sound completion signal for
+    a bounded test input. Returns the stopped query."""
+    import time
+
+    spark = df.sparkSession
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    deadline = time.monotonic() + timeout_sec
+    try:
+        while spark.sql(f"SELECT count(*) c FROM {name}").first()["c"] < n_rows:
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"memory sink {name} did not reach {n_rows} rows "
+                    f"within {timeout_sec}s"
+                )
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    return q
+
+
 # ------------------------------------------------ stateful incremental tier
 
 
@@ -269,7 +300,7 @@ def streaming_packing(stream: DataFrame, seq_len: int = 2048, by: str = "source"
 
 
 def streaming_hll(stream: DataFrame, key: str = "user_id", ts_col: str = "ts",
-                  window_sec: int = 3600) -> DataFrame:
+                  window_sec: int = 3600, state_ttl_sec: int = 6 * 3600) -> DataFrame:
     """Stateful streaming distinct-count sketches (the streaming face of
     operators/hll): GroupState per tumbling window carries the 64
     register maxima — BOUNDED state per window regardless of event
@@ -278,7 +309,16 @@ def streaming_hll(stream: DataFrame, key: str = "user_id", ts_col: str = "ts",
     monotone n_events cursor (latest row per window = current estimate).
     Hashing and estimator mirror operators/hll bit-for-bit, so feeding
     the same events reproduces the batch estimates EXACTLY
-    (parity-tested)."""
+    (parity-tested).
+
+    State lifecycle (r6): each window's registers expire
+    ``state_ttl_sec`` of PROCESSING time after the window last received
+    an event — total state is bounded by (windows active within the TTL)
+    x 64 registers on an unbounded stream, not by stream lifetime. A
+    processing-time timeout (not event-time) keeps ingestion semantics
+    watermark-free: late events within the TTL still refresh their
+    window; events for an expired window restart its sketch from empty
+    (their final pre-expiry estimate was already emitted downstream)."""
     import hashlib
 
     import pandas as pd
@@ -293,6 +333,11 @@ def streaming_hll(stream: DataFrame, key: str = "user_id", ts_col: str = "ts",
 
     def fn(fkey, pdfs, state):
         (ws,) = fkey
+        if state.hasTimedOut:
+            # window went cold for state_ttl_sec: final estimate already
+            # emitted on its last update; free the registers
+            state.remove()
+            return
         if state.exists:
             regs, n = list(state.get[0]), state.get[1]
         else:
@@ -306,6 +351,7 @@ def streaming_hll(stream: DataFrame, key: str = "user_id", ts_col: str = "ts",
                     regs[reg] = rank
                 n += 1
         state.update((regs, n))
+        state.setTimeoutDuration(state_ttl_sec * 1000)
         present = [(j, m) for j, m in enumerate(regs) if m > 0]
         s = 0.0
         for _, m in present:  # ascending register order, the batch fold order
@@ -322,5 +368,5 @@ def streaming_hll(stream: DataFrame, key: str = "user_id", ts_col: str = "ts",
         "window_start long, n_events long, v_empty long, est_distinct double",
         "regs array<long>, n long",
         "append",
-        "NoTimeout",
+        "ProcessingTimeTimeout",
     )

@@ -1095,6 +1095,27 @@ def test_segment_dedup_semantics(spark):
     assert got.loc["4", "n_segs"] == 1 and got.loc["4", "n_dup_segs"] == 0
 
 
+def test_segment_dedup_metachar_separators(spark):
+    """sep is a LITERAL separator (r6 fix): regex metachars ('.', '|', '+')
+    and quotes must neither break parsing nor silently mis-split — '|'
+    as a regex would split between EVERY character."""
+    from crossai_ts_spark.operators.dedup import segment_dedup
+
+    for sep in (".", "|", "+", "'", "\n"):
+        rows = [
+            (1, sep.join(["w1", "w2", "w3", "w4"]), "en", "t"),
+            (2, sep.join(["w1", "w2", "z3", "z4"]), "en", "t"),  # shares seg 1
+            (3, sep.join(["q1", "q2", "q3", "q4"]), "en", "t"),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+        got = segment_dedup(docs, seg_words=2, sep=sep).toPandas().set_index("doc_id")
+        assert got.loc["1", "n_segs"] == 2, f"sep={sep!r} mis-split"
+        assert got.loc["1", "n_dup_segs"] == 1, f"sep={sep!r} dup not found"
+        assert got.loc["3", "n_dup_segs"] == 0, f"sep={sep!r} false dup"
+
+
 def test_ngram_topk_counts_and_tiebreak(spark):
     from crossai_ts_spark.operators.textstats import ngram_topk
 

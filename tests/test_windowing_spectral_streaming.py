@@ -475,7 +475,7 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
     import pandas as pd
 
     from crossai_ts_spark.operators.hll import hll_estimate, hll_sketch
-    from crossai_ts_spark.streaming.rollup_stream import run_to_memory, streaming_hll
+    from crossai_ts_spark.streaming.rollup_stream import run_until_rows, streaming_hll
 
     rows = [(i, f"2024-01-01 0{i % 4}:1{i % 5}:2{i % 3}", i * 13 % 97) for i in range(600)]
     schema = "event_id long, ts_s string, user_id long"
@@ -487,7 +487,10 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
         str(in_dir) + "/*"
     )
     ev = raw.select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id")
-    run_to_memory(streaming_hll(ev, window_sec=3600), "hll_stream_out")
+    # 2 file-triggers x 4 windows each = 8 emissions; the ProcessingTime
+    # timeout keeps empty timer batches coming, so processAllAvailable()
+    # would never return — poll the sink instead
+    run_until_rows(streaming_hll(ev, window_sec=3600), "hll_stream_out", 8)
     emitted = spark.sql("SELECT * FROM hll_stream_out").toPandas()
     final = (
         emitted.sort_values("n_events").groupby("window_start").last().reset_index()
@@ -507,6 +510,61 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
         want[["window_start", "v_empty", "est_distinct"]],
         check_dtype=False,
     )
+
+
+def test_streaming_hll_state_ttl_expires(spark, tmp_path):
+    """ADVICE r5-D: a window's GroupState must expire state_ttl_sec of
+    processing time after its last event, so an unbounded stream holds
+    only TTL-recent windows. Observable contract: events arriving AFTER
+    expiry restart the sketch from empty — the post-gap emission equals
+    the batch estimate of the post-gap events ALONE, not the union."""
+    import time
+
+    import pandas as pd
+
+    from crossai_ts_spark.operators.hll import hll_estimate, hll_sketch
+    from crossai_ts_spark.streaming.rollup_stream import run_until_rows, streaming_hll
+
+    schema = "event_id long, ts_s string, user_id long"
+    # one 3600s window; disjoint user sets before/after the TTL gap
+    rows_a = [(i, "2024-01-01 05:00:01", 100 + i) for i in range(40)]
+    rows_b = [(1000 + i, "2024-01-01 05:59:59", 900 + i) for i in range(25)]
+    in_dir = tmp_path / "hll_ttl"
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.parquet(str(in_dir / "b0"))
+
+    raw = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(in_dir) + "/*"
+    )
+    ev = raw.select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id")
+    out = streaming_hll(ev, window_sec=3600, state_ttl_sec=2)
+    q = out.writeStream.outputMode("append").format("memory").queryName("hll_ttl_out").start()
+    try:
+        deadline = time.monotonic() + 120
+        while spark.sql("SELECT count(*) c FROM hll_ttl_out").first()["c"] < 1:
+            assert time.monotonic() < deadline, "first emission never arrived"
+            time.sleep(0.25)
+        # let the 2s processing-time timer fire (empty timer batches run
+        # continuously); generous margin for a loaded box
+        time.sleep(8)
+        spark.createDataFrame(rows_b, schema).coalesce(1).write.parquet(str(in_dir / "b1"))
+        deadline = time.monotonic() + 120
+        while spark.sql("SELECT count(*) c FROM hll_ttl_out").first()["c"] < 2:
+            assert time.monotonic() < deadline, "post-expiry emission never arrived"
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    emitted = spark.sql("SELECT * FROM hll_ttl_out").toPandas()
+    # n_events proves the restart: the post-gap emission counted ONLY
+    # rows_b (25), not a 40+25 continuation
+    assert len(emitted) == 2, emitted
+    assert set(emitted["n_events"]) == {40, 25}, emitted
+    only_b = spark.createDataFrame(rows_b, schema).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id"
+    )
+    want_b = hll_estimate(hll_sketch(only_b, window_sec=3600)).toPandas().iloc[0]
+    got_b = emitted[emitted["n_events"] == 25].iloc[0]
+    assert got_b["v_empty"] == want_b["v_empty"]
+    assert got_b["est_distinct"] == want_b["est_distinct"]
 
 
 def test_incremental_tier1_multi_arrow_chunk_trigger(spark, tmp_path):
