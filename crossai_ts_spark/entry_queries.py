@@ -4456,16 +4456,23 @@ def rollup_histogram_q(spark, sf_dir):
     return rollup_histogram(seqs, w=32, n_buckets=16, vmax=128)
 
 
+# n_tokens^alpha as the cross-engine-exact sqrt chain (mixing.pow_alpha_sql
+# is the single source of truth for the nesting; alpha = ALPHA_Q16/2^16)
+from .operators.mixing import pow_alpha_sql as _pow_alpha_sql
+
+_POW_ALPHA_SQL = _pow_alpha_sql("n_tokens::DOUBLE")
+
+
 @q(
     "source_mixing_weights",
-    """
+    f"""
 WITH s AS (
   SELECT source, COUNT(*)::BIGINT AS n_docs,
          SUM(length(text))::BIGINT AS n_tokens
   FROM documents WHERE length(text) > 0 GROUP BY source
 ), p AS (
   SELECT source, n_docs, n_tokens,
-         floor(pow(n_tokens::DOUBLE, CAST(0.7 AS DOUBLE)) * 1048576.0)::BIGINT AS w_q
+         floor({_POW_ALPHA_SQL} * 1048576.0)::BIGINT AS w_q
   FROM s
 )
 SELECT source, n_docs, n_tokens, w_q,
@@ -4476,10 +4483,15 @@ FROM p
 def source_mixing_weights(spark, sf_dir):
     """Temperature-based source mixing (the public CC100/XLM-R multinomial
     sampling recipe): per-source weight proportional to n_tokens^alpha
-    (alpha=0.7), upweighting low-resource shards. pow() is transcendental,
-    so each weight is floor(x*2^20)-quantized BEFORE normalizing (the
+    with alpha DYADIC (45875/2^16 = 0.699997, see mixing.ALPHA_Q16) so
+    n^alpha is a sqrt-multiply chain — every op IEEE correctly-rounded,
+    bitwise identical in Spark and DuckDB at any n, unlike libm pow()
+    (r6 fix: pow's 1-ulp slack flipped floor boundaries for n >~ 10^11).
+    Each weight is floor(x*2^20)-quantized BEFORE normalizing (the
     lm_perplexity precedent); the normalizer is an exact integer sum
     broadcast back. One map-side-combined groupBy — no other shuffle."""
+    from .operators.mixing import pow_alpha
+
     docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
     s = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -4487,10 +4499,7 @@ def source_mixing_weights(spark, sf_dir):
     )
     p = s.withColumn(
         "w_q",
-        F.floor(
-            F.pow(F.col("n_tokens").cast("double"), F.expr("cast(0.7 as double)"))
-            * F.lit(1048576.0)
-        ).cast("long"),
+        F.floor(pow_alpha(F.col("n_tokens")) * F.lit(1048576.0)).cast("long"),
     )
     tot = p.agg(F.sum("w_q").alias("_tot"))
     return p.crossJoin(F.broadcast(tot)).select(
@@ -4929,7 +4938,17 @@ def cms_counts(spark, sf_dir):
     set (bigrams of docs 0-19) is answered by broadcast-joining the
     sketch, never re-shuffling the corpus. est >= exact_cnt always (the
     CMS one-sided guarantee, join-verified here); whole sketch and every
-    estimate bit-for-bit reproducible in DuckDB."""
+    estimate bit-for-bit reproducible in DuckDB.
+
+    SCALE NOTE — the ``exact`` branch below (groupBy over the full
+    n-gram universe) is VERIFICATION SCAFFOLDING for the sf0.01 oracle
+    only: it shuffles exactly what the sketch exists to avoid. A
+    production pipeline stops at ``cms_build(...)`` + ``cms_lookup(...)``
+    — bounded d x w state, broadcast lookups, zero corpus-wide shuffle:
+
+        cms = cms_build(grams, "ngram", d=4, w=2**20)
+        answers = cms_lookup(cms, queries, "ngram", d=4, w=2**20)
+    """
     from .operators.cms import cms_build, cms_lookup
 
     docs = load(spark, sf_dir, "documents")
@@ -4943,7 +4962,7 @@ def cms_counts(spark, sf_dir):
     )
 
 
-SQL_APPLY_MIXING = """
+SQL_APPLY_MIXING = f"""
 WITH d AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, length(text)::BIGINT AS n_tok
   FROM documents WHERE length(text) > 0
@@ -4952,7 +4971,7 @@ WITH d AS (
   FROM d GROUP BY source
 ), p AS (
   SELECT source, n_docs, n_tokens,
-         floor(pow(n_tokens::DOUBLE, CAST(0.7 AS DOUBLE)) * 1048576.0)::BIGINT AS w_q
+         floor({_POW_ALPHA_SQL} * 1048576.0)::BIGINT AS w_q
   FROM s
 ), g AS (
   SELECT SUM(w_q)::BIGINT AS tot, SUM(n_tokens)::BIGINT AS all_tok FROM p

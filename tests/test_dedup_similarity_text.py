@@ -955,9 +955,20 @@ def test_source_mixing_weights_semantics(spark):
     d = tempfile.mkdtemp()
     docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
     out = REGISTRY["source_mixing_weights"][0](spark, d).toPandas().set_index("source")
-    wb = math.floor(2000**0.7 * 1048576.0)
-    ws = math.floor(100**0.7 * 1048576.0)
-    assert out.loc["big", "w_q"] == wb and out.loc["small", "w_q"] == ws
+
+    # reference recipe: the dyadic-alpha sqrt chain in pure-Python IEEE
+    # doubles (bitwise-identical to the Spark/DuckDB chain by design)
+    def w_q(n):
+        from crossai_ts_spark.operators.mixing import _alpha_bits, ALPHA_Q16
+
+        r = 1.0
+        for bit in reversed(_alpha_bits(ALPHA_Q16)):
+            r = math.sqrt(r * float(n)) if bit else math.sqrt(r)
+        return math.floor(r * 1048576.0)
+
+    # dyadic alpha = 0.699997 tracks n^0.7 to ~5e-6 relative
+    assert abs(w_q(2000) - 2000**0.7 * 1048576.0) / (2000**0.7 * 1048576.0) < 1e-4
+    assert out.loc["big", "w_q"] == w_q(2000) and out.loc["small", "w_q"] == w_q(100)
     assert abs(out.mix_weight.sum() - 1.0) < 1e-12
     # temperature upweights the small shard relative to raw token share
     raw_small = 100 / 2100
@@ -1220,3 +1231,38 @@ def test_apply_mixing_semantics(spark):
 
     again = apply_mixing(docs.repartition(13), T).toPandas()
     assert sorted(again.doc_id) == sorted(kept.doc_id)
+
+
+def test_mixing_pow_agreement(spark):
+    """ADVICE r5-E: w_q = floor(n^alpha * 2^20) must quantize identically
+    in Spark and DuckDB at ANY n. libm pow() does NOT deliver that (the
+    same sweep against pow measured 31/8000 floor flips at n >~ 10^11 —
+    1 ulp of pow exceeds one w_q unit there), which is why alpha is
+    dyadic (ALPHA_Q16/2^16) and n^alpha is the sqrt-multiply chain:
+    every op IEEE correctly-rounded, hence bitwise identical. Sweep
+    small, dense, and large pseudo-random n through both engines and
+    demand exact equality."""
+    import duckdb
+
+    from crossai_ts_spark.operators.mixing import pow_alpha, pow_alpha_sql
+
+    ns = list(range(1, 4001)) + [
+        (1_000_003 * k * k + 7 * k) % (10**13) + 10**6 for k in range(4000)
+    ]
+    sdf = spark.createDataFrame([(n,) for n in ns], "n long").select(
+        "n",
+        F.floor(pow_alpha(F.col("n")) * F.lit(1048576.0)).cast("long").alias("w_q"),
+    )
+    got = {r["n"]: r["w_q"] for r in sdf.collect()}
+    con = duckdb.connect()
+    chain = pow_alpha_sql("n::DOUBLE")
+    want = dict(
+        con.execute(
+            f"SELECT n, floor({chain} * 1048576.0)::BIGINT "
+            "FROM (SELECT UNNEST(?::BIGINT[]) AS n)",
+            [ns],
+        ).fetchall()
+    )
+    con.close()
+    diff = {n: (got[n], want[n]) for n in ns if got[n] != want[n]}
+    assert not diff, f"{len(diff)} w_q mismatches, e.g. {list(diff.items())[:3]}"
