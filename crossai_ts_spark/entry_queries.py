@@ -3339,10 +3339,20 @@ def augment_dropout(spark, sf_dir):
 def augment_timewarp_stretch(spark, sf_dir):
     """time_warp_ts + time_stretch_ts + pitch_shift_ts (_augment_1d.py:598,
     :708,:743) via phase vocoder — FFT/interp kernels, rows-only; kernels
-    numpy-verified in tests/test_dsp2.py."""
+    numpy-verified in tests/test_dsp2.py. Also carries the HPSS mask
+    digest (caits/hpss.py:9-299 — harmonic/percussive separation of the
+    same STFT family): ``hpss_chk`` = floor-quantized sum of both
+    separated components on the doc's leading samples, making hpss
+    driver-visible without a new registry row (mask complementarity and
+    reconstruction stay bitwise-tested in tests/test_dsp2.py)."""
     import pandas as pd
 
-    from .functions.dsp2 import pitch_shift_ts, time_stretch_ts, time_warp_np
+    from .functions.dsp2 import (
+        hpss_signal,
+        pitch_shift_ts,
+        time_stretch_ts,
+        time_warp_np,
+    )
 
     seqs = tokenize_documents(load(spark, sf_dir, "documents"))
 
@@ -3359,6 +3369,7 @@ def augment_timewarp_stretch(spark, sf_dir):
                 tw = time_warp_np(x, seed=seed)
                 st = time_stretch_ts(x, 1.25)
                 ps = pitch_shift_ts(x, sr=1.0, n_steps=2)
+                h, p = hpss_signal(x[:512])
                 rows.append(
                     (
                         doc_id,
@@ -3366,15 +3377,19 @@ def augment_timewarp_stretch(spark, sf_dir):
                         int(st.size),
                         float(np.floor(st[:64] * 1024.0).sum()),
                         float(np.floor(ps[:64] * 1024.0).sum()),
+                        float(np.floor(h * 1024.0).sum() + np.floor(p * 1024.0).sum()),
                     )
                 )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "warp_chk", "stretch_len", "stretch_chk", "pitch_chk"]
+                rows,
+                columns=["doc_id", "warp_chk", "stretch_len", "stretch_chk",
+                         "pitch_chk", "hpss_chk"],
             )
 
     return seqs.mapInPandas(
         kernel,
-        schema="doc_id string, warp_chk double, stretch_len int, stretch_chk double, pitch_chk double",
+        schema="doc_id string, warp_chk double, stretch_len int, "
+               "stretch_chk double, pitch_chk double, hpss_chk double",
     )
 
 

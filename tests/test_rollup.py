@@ -159,6 +159,65 @@ def test_histogram_merge_equals_direct(spark):
     pd.testing.assert_frame_equal(merged, direct[merged.columns], check_dtype=False)
 
 
+def test_histogram_wide_native_equals_pandas_and_numpy(spark):
+    """ADVICE r5: the nb>16 single-pass native fold and the np.bincount
+    Arrow twin were claimed count-identical but only exercised at nb=16.
+    Assert full frame equality of rollup_histogram at nb=17 and nb=64
+    (both sides of the adaptive crossover) against rollup_histogram_pandas
+    AND an independent numpy recomputation, including ragged tails."""
+    import numpy as np
+    import pandas as pd
+
+    from crossai_ts_spark.operators.rollup import (
+        rollup_histogram,
+        rollup_histogram_pandas,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i, n in enumerate([257, 64, 100, 31, 1]):
+        toks = rng.integers(0, 1104, size=n, dtype=np.int32)
+        rows.append((f"d{i}", [int(t) for t in toks], n, "s"))
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    w, vmax = 32, 1104
+    for nb in (17, 64):
+        cols = ["doc_id", "window_start"] + [f"b{b}" for b in range(nb)] + [
+            "total", "median_bucket"
+        ]
+        native = (
+            rollup_histogram(df, w=w, n_buckets=nb, vmax=vmax)
+            .toPandas()[cols]
+            .sort_values(["doc_id", "window_start"]).reset_index(drop=True)
+        )
+        arrow = (
+            rollup_histogram_pandas(df, w=w, n_buckets=nb, vmax=vmax)
+            .toPandas()[cols]
+            .sort_values(["doc_id", "window_start"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(native, arrow, check_dtype=False)
+        # independent numpy recomputation, window by window
+        expect_rows = []
+        for doc_id, toks, n, _src in rows:
+            a = np.asarray(toks, dtype=np.int64)
+            for ws in range(0, n, w):
+                seg = a[ws : ws + w]
+                counts = np.bincount(
+                    np.minimum(seg * nb // vmax, nb - 1), minlength=nb
+                )
+                cum = np.cumsum(counts)
+                expect_rows.append(
+                    [doc_id, ws, *counts.tolist(), len(seg),
+                     int(np.argmax(cum * 2 >= len(seg)))]
+                )
+        expect = (
+            pd.DataFrame(expect_rows, columns=cols)
+            .sort_values(["doc_id", "window_start"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(native, expect, check_dtype=False)
+
+
 def test_hll_merge_identity_and_accuracy(spark):
     """Tier-2 sketches merged from tier-1 registers equal sketching the
     raw events at the coarse window directly (bitwise — the mergeability
