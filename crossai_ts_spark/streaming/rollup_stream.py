@@ -49,10 +49,10 @@ def streaming_source_counts(stream: DataFrame, ingest_col: str = "ingest_ts") ->
     )
 
 
-def run_to_memory(df: DataFrame, name: str):
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a bounded stream to completion synchronously (tests)."""
     q = (
-        df.writeStream.outputMode("append")
+        df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()
@@ -370,3 +370,22 @@ def streaming_hll(stream: DataFrame, key: str = "user_id", ts_col: str = "ts",
         "append",
         "ProcessingTimeTimeout",
     )
+
+
+def streaming_cms(stream: DataFrame, key: str, d: int = 4, w: int = 8192) -> DataFrame:
+    """Continuous count-min sketch (the streaming face of operators/cms):
+    the batch plan — explode d (row, cell) positions per item into a
+    groupBy sum — IS the streaming plan, because CMS cells merge by
+    elementwise addition, which is exactly what an incremental streaming
+    aggregation maintains. No custom state UDF: Spark's stateful
+    HashAggregate keeps <= d*w running cells (bounded by construction,
+    never by watermark) and each trigger folds the new items' partial
+    counts in map-side before touching state. Run with
+    outputMode('update') (changed cells per trigger) or 'complete' (the
+    whole refreshed sketch); the result after consuming any prefix of the
+    stream equals cms_build over that prefix EXACTLY (parity-tested),
+    so estimates via operators/cms.cms_lookup carry the same one-sided
+    guarantee at every point in time."""
+    from ..operators.cms import cms_build
+
+    return cms_build(stream, key=key, d=d, w=w)

@@ -612,3 +612,52 @@ def test_incremental_tier1_multi_arrow_chunk_trigger(spark, tmp_path):
     )
     cols = ["doc_id", "window_start", "t_min", "t_max", "t_sum", "t_cnt", "t_last", "t_mean"]
     pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=False)
+
+
+def test_streaming_cms_matches_batch(spark, tmp_path):
+    """Continuous count-min sketch: the streaming aggregation's state is
+    the sketch itself (<= d*w cells, bounded by construction), and after
+    consuming the whole bounded stream the complete-mode sink equals
+    cms_build over the same items cell-for-cell — so cms_lookup estimates
+    carry the batch one-sided guarantee at any point in the stream."""
+    import pandas as pd
+
+    from crossai_ts_spark.operators.cms import cms_build, cms_lookup
+    from crossai_ts_spark.streaming.rollup_stream import run_to_memory, streaming_cms
+
+    d, w = 4, 64
+    # zipf-ish repeats so several keys share cells (collisions exercised)
+    rows = [(f"k{(i * i) % 37}",) for i in range(500)]
+    in_dir = tmp_path / "cms_stream"
+    spark.createDataFrame(rows[:250], "key string").coalesce(1).write.parquet(
+        str(in_dir / "b0")
+    )
+    spark.createDataFrame(rows[250:], "key string").coalesce(1).write.parquet(
+        str(in_dir / "b1")
+    )
+
+    raw = spark.readStream.schema("key string").option("maxFilesPerTrigger", 1).parquet(
+        str(in_dir) + "/*"
+    )
+    run_to_memory(streaming_cms(raw, key="key", d=d, w=w), "cms_stream_out",
+                  output_mode="complete")
+    got = (
+        spark.sql("SELECT * FROM cms_stream_out").toPandas()
+        .sort_values(["row", "cell"]).reset_index(drop=True)
+    )
+    assert len(got) <= d * w  # bounded state, never keyed by stream size
+
+    batch = spark.createDataFrame(rows, "key string")
+    want = (
+        cms_build(batch, key="key", d=d, w=w).toPandas()
+        .sort_values(["row", "cell"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # identical sketches => identical estimates; spot the guarantee too
+    queries = spark.createDataFrame([(f"k{j}",) for j in range(37)], "key string")
+    stream_sketch = spark.sql("SELECT * FROM cms_stream_out")
+    est = cms_lookup(stream_sketch, queries, key="key", d=d, w=w).toPandas()
+    truth = pd.DataFrame(rows, columns=["key"]).value_counts("key")
+    for _, r in est.iterrows():
+        assert r["est"] >= truth.get(r["key"], 0)  # one-sided: est >= truth
