@@ -372,7 +372,8 @@ def streaming_hll(stream: DataFrame, key: str = "user_id", ts_col: str = "ts",
     )
 
 
-def streaming_cms(stream: DataFrame, key: str, d: int = 4, w: int = 8192) -> DataFrame:
+def streaming_cms(stream: DataFrame, key: str, d: int = 4, w: int = 8192,
+                  hash: str = "md5") -> DataFrame:
     """Continuous count-min sketch (the streaming face of operators/cms):
     the batch plan — explode d (row, cell) positions per item into a
     groupBy sum — IS the streaming plan, because CMS cells merge by
@@ -388,4 +389,4 @@ def streaming_cms(stream: DataFrame, key: str, d: int = 4, w: int = 8192) -> Dat
     guarantee at every point in time."""
     from ..operators.cms import cms_build
 
-    return cms_build(stream, key=key, d=d, w=w)
+    return cms_build(stream, key=key, d=d, w=w, hash=hash)

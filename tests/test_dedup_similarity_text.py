@@ -1207,6 +1207,42 @@ def test_cms_one_sided_and_merge(spark):
     pd.testing.assert_frame_equal(merged, whole, check_dtype=False)
 
 
+def test_cms_xxhash64_production_path(spark):
+    """The xxhash64 hash family (JVM-native, no hex detour — the measured
+    ~5x scale path) carries the same contracts as md5: exact counts sum
+    to d*n_items, estimates one-sided (>= truth for every key), sketch
+    merges by elementwise addition, and build/lookup agree on positions.
+    The md5 default stays the oracle family (DuckDB-bitwise)."""
+    import pandas as pd
+
+    from crossai_ts_spark.operators.cms import cms_build, cms_lookup
+
+    d, w = 4, 512
+    rows = [(i, f"k{i % 37}") for i in range(1000)]
+    items = spark.createDataFrame(rows, "i long, ngram string")
+    sk = cms_build(items, "ngram", d=d, w=w, hash="xxhash64")
+    spdf = sk.toPandas()
+    assert len(spdf) <= d * w
+    assert spdf.cnt.sum() == d * 1000  # every item hit d cells
+    assert spdf.cell.between(0, w - 1).all()  # pmod keeps cells in range
+
+    queries = items.select("ngram").distinct()
+    est = cms_lookup(sk, queries, "ngram", d=d, w=w, hash="xxhash64").toPandas(
+    ).set_index("ngram")
+    exact = items.groupBy("ngram").count().toPandas().set_index("ngram")
+    for k in exact.index:
+        assert est.loc[k, "est"] >= exact.loc[k, "count"]
+
+    h1 = cms_build(items.filter("i < 500"), "ngram", d=d, w=w, hash="xxhash64")
+    h2 = cms_build(items.filter("i >= 500"), "ngram", d=d, w=w, hash="xxhash64")
+    merged = (
+        h1.unionByName(h2).groupBy("row", "cell").agg(F.sum("cnt").alias("cnt"))
+        .toPandas().sort_values(["row", "cell"]).reset_index(drop=True)
+    )
+    whole = spdf.sort_values(["row", "cell"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(merged, whole, check_dtype=False)
+
+
 def test_apply_mixing_semantics(spark):
     """Temperature mixing: the low-resource source keeps everything
     (rate clamps at 1), the hot source is subsampled near its computed

@@ -96,21 +96,22 @@ spark = get_spark(app_name="stress_cms", master="local[{cores}]", shuffle_partit
 n_tok = int(seqs.selectExpr("sum(cast(n_tok as bigint)) t").collect()[0].t)
 items = ev.select("k")
 
-def job():
+def job(hash):
     t0 = time.monotonic()
-    r = cms_build(items, key="k", d=4, w=8192).agg(
+    r = cms_build(items, key="k", d=4, w=8192, hash=hash).agg(
         F.count("*").alias("cells"), F.sum("cnt").alias("tot")).collect()[0]
     return time.monotonic() - t0, (int(r.cells), int(r.tot))
 
-job()  # warm-up
-walls, meta = [], None
-for _ in range({trials}):
-    wall, meta = job()
-    walls.append(round(wall, 2))
-assert meta[1] == 4 * n_tok, (meta, n_tok)  # every token hit d cells
-out = {{"n_tok": n_tok, "cells": meta[0], "d": 4, "w": 8192,
-       "wall": min(walls), "walls": walls,
-       "tokens_per_sec": round(n_tok / min(walls))}}
+out = {{"n_tok": n_tok, "d": 4, "w": 8192}}
+job("xxhash64")  # warm-up
+for hash, trials in (("xxhash64", {trials}), ("md5", {trials})):
+    walls, meta = [], None
+    for _ in range(trials):
+        wall, meta = job(hash)
+        walls.append(round(wall, 2))
+    assert meta[1] == 4 * n_tok, (meta, n_tok)  # every token hit d cells
+    out[hash] = {{"cells": meta[0], "wall": min(walls), "walls": walls,
+                 "tokens_per_sec": round(n_tok / min(walls))}}
 print("RESULT " + json.dumps(out))
 spark.stop()
 """
@@ -208,11 +209,15 @@ scan+explode ingestion:
 | sketch | state bound | wall (s) | tokens/s |
 |---|---|---|---|
 | HLL sketch + estimate ({h['windows']} windows) | 64 registers/window pre-shuffle | {h['wall']} (trials {h['walls']}) | **{h['tokens_per_sec']:,}** |
-| CMS build (d=4, w=8192 -> {c['cells']:,} cells) | d*w cells, map-side combined | {c['wall']} (trials {c['walls']}) | **{c['tokens_per_sec']:,}** |
+| CMS build, md5 oracle family (d=4, w=8192 -> {c['md5']['cells']:,} cells) | d*w cells, map-side combined | {c['md5']['wall']} (trials {c['md5']['walls']}) | {c['md5']['tokens_per_sec']:,} |
+| CMS build, xxhash64 production family (r6) | same | {c['xxhash64']['wall']} (trials {c['xxhash64']['walls']}) | **{c['xxhash64']['tokens_per_sec']:,}** |
 
-Every token pays one md5 (HLL) / four md5s (CMS) on the JVM; cell/register
-state never grows with corpus size, so these rates are the flat-cost
-per-token path a 10^12-token corpus would ride.
+Cell/register state never grows with corpus size, so these rates are the
+flat-cost per-token path a 10^12-token corpus would ride. The md5 CMS
+family pays four md5+hex-conv per item — it exists for the DuckDB-bitwise
+oracle; `cms_build(..., hash="xxhash64")` is the JVM-native production
+path ({c['xxhash64']['tokens_per_sec'] / c['md5']['tokens_per_sec']:.1f}x,
+same one-sided/merge contracts, tested).
 
 KMV hot-window case (the r5 verdict's one weak flag, fixed this round):
 ONE window of {k['distinct_keys']:,} DISTINCT keys, k={k['k']},
@@ -223,8 +228,10 @@ n_salts={k['n_salts']}:
 | HLL-threshold candidate pre-filter (r6 default) | **{k['prefiltered']['wall']}** (trials {k['prefiltered']['walls']}) |
 | unfiltered two-phase collect_set (pre-r6 shape) | {k['unfiltered_two_phase']['wall']} (trials {k['unfiltered_two_phase']['walls']}) |
 
-Sketches bitwise-equal (asserted in-run); the pre-filter admits ~c*k
-candidate hashes per window instead of ~D/n_salts, so per-salt
+Sketches bitwise-equal (asserted in-run). Watch the unfiltered plan's
+trial SPREAD, not just its min — multi-minute outlier trials are the GC
+signature of its ~D/n_salts-long aggregation buffers. The pre-filter
+admits ~c*k candidate hashes per window instead, so per-salt
 aggregation input is O(k) at ANY distinct count — the 10^9-distinct
 window that would OOM the old default now costs what a 10^3 one does,
 plus one bounded HLL pass.
