@@ -390,3 +390,70 @@ def streaming_cms(stream: DataFrame, key: str, d: int = 4, w: int = 8192,
     from ..operators.cms import cms_build
 
     return cms_build(stream, key=key, d=d, w=w, hash=hash)
+
+
+def streaming_kmv(stream: DataFrame, key: str = "user_id", ts_col: str = "ts",
+                  window_sec: int = 3600, k: int = 8,
+                  state_ttl_sec: int = 6 * 3600) -> DataFrame:
+    """Stateful streaming bottom-k (KMV) sketch — the streaming face of
+    operators/hll.kmv_sketch, closing the "every mergeable summary has a
+    streaming twin" set (HLL r5, CMS r6, KMV r6). GroupState per tumbling
+    window holds the k smallest DISTINCT 60-bit key hashes — k longs, the
+    definitionally bounded state — and each trigger emits the refreshed
+    (ks, n_distinct_est) plus the monotone n_events cursor (latest row
+    per window = current sketch). The hash projection is the BATCH
+    `_kmv_hashed` expression itself and the estimator repeats the batch
+    IEEE op order, so the final emission per window equals
+    kmv_sketch(same events) BITWISE (parity-tested).
+
+    Same state lifecycle as streaming_hll: a window's k-list expires
+    state_ttl_sec of processing time after its last event, bounding
+    total state to TTL-recent windows on an unbounded stream."""
+    from bisect import bisect_left, insort
+
+    import pandas as pd
+
+    from ..operators.hll import _H60, _kmv_hashed
+
+    hashed = _kmv_hashed(stream, key=key, ts=ts_col, window_sec=window_sec)
+
+    def fn(fkey, pdfs, state):
+        (ws,) = fkey
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ks, n = list(state.get[0]), state.get[1]
+        else:
+            ks, n = [], 0
+        for pdf in pdfs:
+            for h in pdf["h"]:
+                n += 1
+                h = int(h)
+                if len(ks) < k:
+                    i = bisect_left(ks, h)
+                    if i == len(ks) or ks[i] != h:
+                        ks.insert(i, h)
+                elif h < ks[-1]:
+                    i = bisect_left(ks, h)
+                    if ks[i] != h:
+                        ks.insert(i, h)
+                        del ks[-1]
+        state.update((ks, n))
+        state.setTimeoutDuration(state_ttl_sec * 1000)
+        if len(ks) < k:
+            est = float(len(ks))
+        else:
+            est = float(k - 1) / (float(ks[k - 1]) / float(_H60))
+        yield pd.DataFrame(
+            [(ws, n, ks, est)],
+            columns=["window_start", "n_events", "ks", "n_distinct_est"],
+        )
+
+    return hashed.groupBy("window_start").applyInPandasWithState(
+        fn,
+        "window_start long, n_events long, ks array<long>, n_distinct_est double",
+        "ks array<long>, n long",
+        "append",
+        "ProcessingTimeTimeout",
+    )

@@ -661,3 +661,46 @@ def test_streaming_cms_matches_batch(spark, tmp_path):
     truth = pd.DataFrame(rows, columns=["key"]).value_counts("key")
     for _, r in est.iterrows():
         assert r["est"] >= truth.get(r["key"], 0)  # one-sided: est >= truth
+
+
+def test_streaming_kmv_matches_batch(spark, tmp_path):
+    """GroupState KMV: k longs of state per window across triggers; the
+    LAST emission per window (max n_events) equals the batch kmv_sketch
+    BITWISE — same md5 hash projection, same IEEE estimator op order."""
+    import pandas as pd
+
+    from crossai_ts_spark.operators.hll import kmv_sketch
+    from crossai_ts_spark.streaming.rollup_stream import run_until_rows, streaming_kmv
+
+    rows = [(i, f"2024-01-01 0{i % 4}:1{i % 5}:2{i % 3}", i * 13 % 97) for i in range(600)]
+    schema = "event_id long, ts_s string, user_id long"
+    in_dir = tmp_path / "kmv_stream"
+    spark.createDataFrame(rows[:300], schema).coalesce(1).write.parquet(str(in_dir / "b0"))
+    spark.createDataFrame(rows[300:], schema).coalesce(1).write.parquet(str(in_dir / "b1"))
+
+    raw = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(in_dir) + "/*"
+    )
+    ev = raw.select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id")
+    # 2 file-triggers x 4 windows = 8 emissions; ProcessingTimeTimeout
+    # keeps scheduling timer batches, so poll the sink (run_until_rows)
+    run_until_rows(streaming_kmv(ev, window_sec=3600, k=8), "kmv_stream_out", 8)
+    emitted = spark.sql("SELECT * FROM kmv_stream_out").toPandas()
+    final = (
+        emitted.sort_values("n_events").groupby("window_start").last().reset_index()
+    )
+
+    batch_ev = spark.createDataFrame(rows, schema).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id"
+    )
+    want = (
+        kmv_sketch(batch_ev, window_sec=3600, k=8)
+        .toPandas().sort_values("window_start").reset_index(drop=True)
+    )
+    got = final.sort_values("window_start").reset_index(drop=True)
+    assert len(got) == len(want) == 4
+    for i in range(4):
+        assert list(got.loc[i, "ks"]) == list(want.loc[i, "ks"])  # bitwise hashes
+        assert got.loc[i, "n_distinct_est"] == want.loc[i, "n_distinct_est"]  # exact double
+    # bounded emission: never more than k hashes per window
+    assert emitted["ks"].map(len).max() <= 8
