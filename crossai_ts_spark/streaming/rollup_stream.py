@@ -96,7 +96,8 @@ def run_until_rows(df: DataFrame, name: str, n_rows: int, timeout_sec: float = 2
 # ------------------------------------------------ stateful incremental tier
 
 
-def incremental_tier1(chunked: DataFrame, w: int = 64) -> DataFrame:
+def incremental_tier1(chunked: DataFrame, w: int = 64,
+                      state_ttl_sec: int | None = None) -> DataFrame:
     """Stateful streaming tier-1: token arrays arrive in per-doc CHUNKS
     (doc_id, chunk_idx, tokens, is_last); GroupState carries the open
     window's partial aggregates across triggers; completed windows emit
@@ -108,7 +109,17 @@ def incremental_tier1(chunked: DataFrame, w: int = 64) -> DataFrame:
     across triggers (in production: per-key ordered source partitions,
     e.g. keyed Kafka). Within a trigger, rows are chunk_idx-sorted
     globally across however many Arrow batches deliver them.
-    """
+
+    State lifecycle (r6): by default completion is is_last-driven
+    (NoTimeout) — a producer that dies mid-doc would leak that doc's
+    partial state forever on an unbounded stream. Pass ``state_ttl_sec``
+    to bound it: a doc whose chunks stop arriving for that much
+    PROCESSING time has its open ragged tail FLUSHED (emitted exactly as
+    an is_last would have emitted it) and its state dropped, so the
+    abandoned-doc failure mode degrades to "tail window emitted at
+    timeout" instead of "state leak". Late chunks after expiry restart
+    the doc's offset cursor from 0 (their windows are distinguishable by
+    window_start collisions downstream)."""
     import numpy as np
     import pandas as pd
 
@@ -129,6 +140,16 @@ def incremental_tier1(chunked: DataFrame, w: int = 64) -> DataFrame:
             out.append(
                 (doc_id, source, ws_, mn_, mx_, sm_, cnt_, lst_, sm_ / cnt_)
             )
+
+        if state.hasTimedOut:
+            # producer went silent: flush the open tail like an is_last
+            if cnt > 0:
+                emit(next_off - cnt, mn, mx, sm, cnt, lst)
+            state.remove()
+            cols = ["doc_id", "source", "window_start", "t_min", "t_max",
+                    "t_sum", "t_cnt", "t_last", "t_mean"]
+            yield pd.DataFrame(out, columns=cols)
+            return
 
         # one trigger's group data may arrive as MULTIPLE Arrow chunks
         # (past maxRecordsPerBatch): materialize and sort chunk_idx
@@ -168,6 +189,8 @@ def incremental_tier1(chunked: DataFrame, w: int = 64) -> DataFrame:
             state.remove()
         else:
             state.update((next_off, mn, mx, sm, cnt, lst, source))
+            if state_ttl_sec is not None:
+                state.setTimeoutDuration(state_ttl_sec * 1000)
         cols = ["doc_id", "source", "window_start", "t_min", "t_max", "t_sum", "t_cnt", "t_last", "t_mean"]
         yield pd.DataFrame(out, columns=cols)
 
@@ -178,8 +201,9 @@ def incremental_tier1(chunked: DataFrame, w: int = 64) -> DataFrame:
     state_schema = (
         "next_off long, mn long, mx long, sm long, cnt long, lst long, source string"
     )
+    timeout = "NoTimeout" if state_ttl_sec is None else "ProcessingTimeTimeout"
     return chunked.groupBy("doc_id").applyInPandasWithState(
-        fn, out_schema, state_schema, "append", "NoTimeout"
+        fn, out_schema, state_schema, "append", timeout
     )
 
 

@@ -338,3 +338,42 @@ def test_kmv_prefilter_hot_window_boundedness(spark):
         ev, window_sec=3600, k=k, n_salts=16, candidate_factor=0.1
     ).toPandas()
     assert list(starved.iloc[0].ks) == list(plain.iloc[0].ks)
+
+
+def test_hll_kmv_xxhash64_production_path(spark):
+    """The xxhash64 hash family (JVM-native, no hex-conv detour — the r6
+    scale path) carries the same contracts as md5: <= 64 register rows
+    per window, estimate within the ~13% standard-error band, KMV k-list
+    ascending/distinct with its estimator in the same band, and the KMV
+    pre-filter stays bitwise-identical to the unfiltered plan under the
+    new family. The md5 default stays the oracle family."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from crossai_ts_spark.operators.hll import (
+        M_REGS,
+        hll_estimate,
+        hll_sketch,
+        kmv_sketch,
+    )
+
+    n_distinct = 500
+    rows = [(i, "2024-01-01 05:00:01", i % n_distinct) for i in range(2000)]
+    ev = spark.createDataFrame(rows, "event_id long, ts_s string, user_id long").select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id"
+    )
+    sk = hll_sketch(ev, hash="xxhash64")
+    spdf = sk.toPandas()
+    assert len(spdf) <= M_REGS
+    est = hll_estimate(sk).toPandas()
+    assert len(est) == 1
+    assert abs(est.est_distinct.iloc[0] - n_distinct) / n_distinct < 3 * 1.04 / 8.0
+
+    km = kmv_sketch(ev, k=8, hash="xxhash64").toPandas()
+    assert len(km) == 1
+    ks = list(km.ks.iloc[0])
+    assert ks == sorted(set(ks)) and len(ks) == 8
+    assert abs(km.n_distinct_est.iloc[0] - n_distinct) / n_distinct < 0.75
+    km2 = kmv_sketch(ev, k=8, hash="xxhash64", prefilter=False).toPandas()
+    assert list(km2.ks.iloc[0]) == ks
+    assert km2.n_distinct_est.iloc[0] == km.n_distinct_est.iloc[0]

@@ -704,3 +704,60 @@ def test_streaming_kmv_matches_batch(spark, tmp_path):
         assert got.loc[i, "n_distinct_est"] == want.loc[i, "n_distinct_est"]  # exact double
     # bounded emission: never more than k hashes per window
     assert emitted["ks"].map(len).max() <= 8
+
+
+def test_incremental_tier1_state_ttl_flushes_tail(spark, tmp_path):
+    """r6: with state_ttl_sec set, a doc whose producer dies mid-doc (no
+    is_last ever arrives) has its open ragged tail FLUSHED after the TTL
+    — emitted exactly as an is_last would have emitted it — instead of
+    leaking state forever. A doc that does finish emits identically to
+    the NoTimeout path."""
+    import pandas as pd
+
+    from crossai_ts_spark.streaming.rollup_stream import (
+        incremental_tier1,
+        run_until_rows,
+    )
+
+    w = 8
+    in_dir = tmp_path / "ttl_chunks"
+    in_dir.mkdir()
+    # doc A: 20 tokens, finished (is_last on chunk 1) -> windows 0,8,16
+    # doc B: 11 tokens, producer dies (never is_last)  -> 0 full, tail [8,11)
+    t0 = pd.DataFrame(
+        [("A", 0, list(range(100, 112)), False, "s"),
+         ("B", 0, list(range(200, 211)), False, "s")],
+        columns=["doc_id", "chunk_idx", "tokens", "is_last", "source"],
+    )
+    t1 = pd.DataFrame(
+        [("A", 1, list(range(112, 120)), True, "s")],
+        columns=["doc_id", "chunk_idx", "tokens", "is_last", "source"],
+    )
+    schema = "doc_id string, chunk_idx long, tokens array<long>, is_last boolean, source string"
+    spark.createDataFrame(t0, schema).coalesce(1).write.parquet(str(in_dir / "b0"))
+    spark.createDataFrame(t1, schema).coalesce(1).write.parquet(str(in_dir / "b1"))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(in_dir) + "/*"
+    )
+    # expect: A -> 0,8,16 (3 windows, 16 is the is_last tail of size 4);
+    # B -> window 0 (full, emitted on arrival) + window 8 tail of size 3
+    # flushed by the 2s TTL => 5 rows total
+    run_until_rows(
+        incremental_tier1(stream, w=w, state_ttl_sec=2), "inc_ttl_out", 5,
+        timeout_sec=120.0,
+    )
+    got = (
+        spark.sql("SELECT * FROM inc_ttl_out").toPandas()
+        .sort_values(["doc_id", "window_start"]).reset_index(drop=True)
+    )
+    assert len(got) == 5
+    a = got[got.doc_id == "A"]
+    assert list(a.window_start) == [0, 8, 16]
+    assert list(a.t_cnt) == [8, 8, 4]
+    b = got[got.doc_id == "B"]
+    assert list(b.window_start) == [0, 8]
+    assert list(b.t_cnt) == [8, 3]
+    # flushed tail carries the exact aggregates of tokens 208..210
+    tail = b[b.window_start == 8].iloc[0]
+    assert (tail.t_min, tail.t_max, tail.t_sum, tail.t_last) == (208, 210, 627, 210)
