@@ -24,11 +24,68 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def s3_available(spark: SparkSession) -> bool:
+    """True when the hadoop-aws S3A filesystem is on the classpath
+    (absent in this sandbox — the s3 surface is jar-gated exactly like
+    Iceberg; injection = add hadoop-aws + aws-sdk-bundle jars)."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.hadoop.fs.s3a.S3AFileSystem"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def s3a_path(location: str) -> str:
+    """Normalize any S3 URI scheme to the one Spark/Hadoop actually
+    implements: ``s3://`` and the legacy ``s3n://`` both map to
+    ``s3a://`` (reference parity: caits loaders address buckets with
+    plain s3 URLs; on Spark the S3A connector is the supported client)."""
+    for scheme in ("s3://", "s3n://"):
+        if location.startswith(scheme):
+            return "s3a://" + location[len(scheme):]
+    return location
+
+
+def configure_s3(
+    spark: SparkSession,
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    path_style: bool = False,
+    anonymous: bool = False,
+) -> None:
+    """Set the S3A client config on the live session's hadoop conf.
+
+    Defaults follow the provider chain (env vars / instance profile —
+    the right setup on a real cluster); pass ``endpoint``/``path_style``
+    for S3-compatible stores (MinIO, Ceph), explicit keys for static
+    credentials, or ``anonymous=True`` for public buckets. Settings are
+    cluster-wide and take effect for filesystems opened AFTER the call."""
+    conf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+    if endpoint is not None:
+        conf.set("fs.s3a.endpoint", endpoint)
+    if access_key is not None:
+        conf.set("fs.s3a.access.key", access_key)
+    if secret_key is not None:
+        conf.set("fs.s3a.secret.key", secret_key)
+    if path_style:
+        conf.set("fs.s3a.path.style.access", "true")
+    if anonymous:
+        conf.set(
+            "fs.s3a.aws.credentials.provider",
+            "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider",
+        )
+
+
 def read_table(spark: SparkSession, location: str) -> DataFrame:
-    """Read a table: ``iceberg:catalog.db.tbl`` or a parquet path/dir."""
+    """Read a table: ``iceberg:catalog.db.tbl``, an ``s3://``/``s3a://``
+    object-store prefix (jar-gated, see :func:`s3_available`), or a
+    parquet path/dir."""
     if location.startswith("iceberg:"):
         return spark.read.format("iceberg").load(location[len("iceberg:") :])
-    return spark.read.parquet(location)
+    return spark.read.parquet(s3a_path(location))
 
 
 def write_table(
@@ -47,7 +104,7 @@ def write_table(
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(location)
+    w.parquet(s3a_path(location))
 
 
 def read_sequences(spark: SparkSession, location: str) -> DataFrame:

@@ -107,3 +107,43 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_cms_plan_map_side_combines_and_broadcasts_lookup(spark):
+    """The sketch family's scale contract AS A PLAN: cms_build's shuffle
+    input is the partial aggregate (<= d*w cells per task, map-side
+    combined before the exchange), and cms_lookup broadcasts the sketch
+    side — the n-gram universe never shuffles for an estimate."""
+    from crossai_ts_spark.operators.cms import cms_build, cms_lookup
+
+    items = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .selectExpr("explode(split(text, ' ')) as k")
+    )
+    sk = cms_build(items, key="k", d=4, w=1024)
+    plan = _plan(sk)
+    # partial_count before the exchange = map-side combine onto <= d*w cells
+    pre, post = plan.split("Exchange hashpartitioning", 1)
+    assert "partial_count" in post, plan  # upstream (printed below exchange)
+    assert "HashAggregate" in pre, plan
+
+    queries = items.limit(50).distinct()
+    est = cms_lookup(sk, queries, key="k", d=4, w=1024)
+    lplan = _plan(est)
+    assert "BroadcastHashJoin" in lplan, lplan
+    assert "CartesianProduct" not in lplan and "BroadcastNestedLoopJoin" not in lplan
+
+
+def test_hll_plan_map_side_combines_registers(spark):
+    """hll_sketch's exchange carries (window, reg, partial_max) — at most
+    64 rows per window per task — never raw events."""
+    from pyspark.sql import functions as F
+
+    from crossai_ts_spark.operators.hll import hll_sketch
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    plan = _plan(hll_sketch(ev, window_sec=3600))
+    pre, post = plan.split("Exchange hashpartitioning", 1)
+    assert "partial_max" in post, plan
