@@ -153,3 +153,52 @@ def test_round3_queries_partition_invariant(spark, tmp_path):
         )
 
     assert run(1) == run(13)
+
+
+def test_round6_sketches_partition_invariant(spark):
+    """Round-6 surfaces must give BITWISE-identical results at any input
+    partitioning: the prefiltered KMV (HLL threshold + fallback), the
+    xxhash64 HLL registers/estimate, the xxhash64 CMS cells, and the
+    dyadic-alpha mixing weights all depend only on values and
+    deterministic hashes, never on physical layout."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from crossai_ts_spark.operators.cms import cms_build
+    from crossai_ts_spark.operators.hll import hll_estimate, hll_sketch, kmv_sketch
+    from crossai_ts_spark.operators.mixing import mixing_thresholds
+
+    rows = [(i, f"2024-01-01 0{i % 3}:10:2{i % 5}", i * 7 % 311) for i in range(1500)]
+    base = spark.createDataFrame(rows, "event_id long, ts_s string, user_id long")
+
+    def run(parts):
+        ev = base.repartition(parts).select(
+            "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id"
+        )
+        km = kmv_sketch(ev, k=8, n_salts=4).toPandas().sort_values("window_start")
+        kv = [(int(w), tuple(ks), float(e)) for w, ks, e in
+              zip(km.window_start, km.ks, km.n_distinct_est)]
+        hl = (
+            hll_estimate(hll_sketch(ev, hash="xxhash64"))
+            .toPandas().sort_values("window_start")
+        )
+        hv = [(int(w), int(v), float(e)) for w, v, e in
+              zip(hl.window_start, hl.v_empty, hl.est_distinct)]
+        cm = (
+            cms_build(ev.select(F.col("user_id").alias("k")), key="k",
+                      d=4, w=256, hash="xxhash64")
+            .toPandas().sort_values(["row", "cell"])
+        )
+        cv = list(map(tuple, cm.itertuples(index=False)))
+        docs = base.repartition(parts).select(
+            (F.col("user_id") % 5).cast("string").alias("source"),
+            F.repeat(F.lit("x"), (F.col("event_id") % 97 + 1).cast("int")).alias("text"),
+        )
+        mx = mixing_thresholds(docs, target_tokens=20_000).toPandas().sort_values("source")
+        mv = list(map(tuple, mx.itertuples(index=False)))
+        return kv, hv, cv, mv
+
+    r1 = run(1)
+    r13 = run(13)
+    for a, b, name in zip(r1, r13, ["kmv", "hll_xxh", "cms_xxh", "mixing"]):
+        assert a == b, f"{name} results depend on partitioning!"
