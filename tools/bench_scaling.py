@@ -24,6 +24,7 @@ import argparse
 import json
 import os
 import shutil
+import statistics
 import subprocess
 import sys
 
@@ -165,11 +166,22 @@ class _StepChild:
             self.p.kill()
 
 
-def run_interleaved(low: int, high: int, path: str, pairs: int) -> tuple[dict, dict, list]:
+def run_interleaved(low: int, high: int, path: str, pairs: int,
+                    warmup_pairs: int = 4) -> tuple[dict, dict, list]:
+    """``warmup_pairs`` unrecorded pairs run first: on this microVM a fresh
+    JVM pays a first-touch page-fault tax for several trials (the high
+    level needs ~6-8 before its floor), so early pairs measure heap
+    warm-up, not the job — the same reason the sequential protocol
+    excludes its warm-up run. Measured pairs start with both JVMs warm."""
     lo_c, hi_c = _StepChild(low, path), _StepChild(high, path)
     lo_c.wait_ready(); hi_c.wait_ready()
     lo_walls, hi_walls, pair_effs = [], [], []
     ratio = high / low
+    for i in range(warmup_pairs):
+        wl, wh = lo_c.trial(), hi_c.trial()
+        print(f"warmup pair {i + 1}/{warmup_pairs}: local[{low}] {wl:.2f}s "
+              f"local[{high}] {wh:.2f}s eff {(wl / wh) / ratio:.3f} (excluded)",
+              flush=True)
     for i in range(pairs):
         wl = lo_c.trial()
         wh = hi_c.trial()
@@ -208,6 +220,9 @@ def main() -> int:
     ap.add_argument("--interleaved", action="store_true",
                     help="alternate low/high trials in persistent JVMs; "
                          "per-pair efficiency is immune to ambient drift")
+    ap.add_argument("--warmup-pairs", type=int, default=4,
+                    help="interleaved mode: unrecorded pairs before the "
+                         "measured ones (JVM first-touch page-fault warm-up)")
     ap.add_argument("--keep-input", action="store_true")
     args = ap.parse_args()
 
@@ -220,7 +235,8 @@ def main() -> int:
 
     pair_effs = None
     if args.interleaved:
-        lo, hi, pair_effs = run_interleaved(args.low, args.high, path, args.trials)
+        lo, hi, pair_effs = run_interleaved(args.low, args.high, path,
+                                            args.trials, args.warmup_pairs)
     else:
         lo = run_level(args.low, path, args.trials)
         hi = run_level(args.high, path, args.trials)
@@ -228,8 +244,12 @@ def main() -> int:
     speedup = lo["wall"] / hi["wall"]
     eff = speedup / ratio
     if pair_effs is not None:
-        # the least-throttled shared-window pair is the drift-free estimate
-        eff = max(pair_effs)
+        # Headline = MEDIAN pair (ADVICE r6: max-of-pairs is upward-biased —
+        # noise that throttles only the low-core trial inflates that pair's
+        # efficiency, and the max selects exactly those outliers). The best
+        # pair is reported as an explicit upper bound, the min-of-trials
+        # ratio as the conservative floor; the full distribution is shown.
+        eff = statistics.median(pair_effs)
         speedup = eff * ratio
 
     pair_md = ""
@@ -238,14 +258,19 @@ def main() -> int:
         pair_md = (
             "\nProtocol: INTERLEAVED — both level JVMs stay up and trials\n"
             "alternate local[{}] / local[{}] back-to-back, so each adjacent pair\n"
-            "shares one ambient-speed window of this drifting shared host; the\n"
-            "headline efficiency is the best (least-throttled) pair, with the\n"
-            "full per-pair distribution shown: {}.\n"
-            "Min-of-trials efficiency (mins may come from different windows):\n"
-            "{:.3f}.\n".format(
-                args.low, args.high,
+            "shares one ambient-speed window of this drifting shared host.\n"
+            "{} unrecorded warm-up pairs precede the measured ones (fresh-JVM\n"
+            "first-touch page faults dominate early trials on this microVM).\n"
+            "The headline efficiency is the MEDIAN measured pair (max-of-pairs\n"
+            "is an upward-biased estimator: ambient noise hitting only the\n"
+            "low-core trial inflates its pair, so the best pair is an upper\n"
+            "bound, not 'the' efficiency). Full per-pair distribution: {}.\n"
+            "Best (least-throttled) pair, upper bound: {:.3f}.\n"
+            "Min-of-trials efficiency (mins may come from different windows),\n"
+            "conservative floor: {:.3f}.\n".format(
+                args.low, args.high, args.warmup_pairs,
                 "[" + ", ".join(f"{e:.3f}" for e in pair_effs) + "]",
-                min_eff)
+                max(pair_effs), min_eff)
         )
 
     md = f"""# BENCH/BASELINE — scaling evidence (N vs {int(ratio)}N parallelism)

@@ -1,0 +1,229 @@
+"""Streaming-sketch ingest stress (VERDICT r6 ask #7): events/s for
+streaming_hll and streaming_kmv end-to-end — parquet stream source ->
+stateful applyInPandasWithState -> memory sink — on a multi-million-event
+input, measured BEFORE and AFTER the r7 vectorized state folds so the
+win is a recorded number, not a claim.
+
+Driver protocol: ProcessingTimeTimeout streams never quiesce (timers
+keep scheduling empty batches), so availableNow does NOT terminate
+(probed: terminated=False after 120 s with all data long since
+processed) and processAllAvailable() blocks forever. The only sound
+completion signal for a bounded input is the sink row count: one
+emission per (trigger x touched window), all input in ONE trigger ->
+exactly n_windows rows. Wall is measured from query.start() to the poll
+observing the full count (includes stream startup, ~1-2 s — real
+ingest-path overhead, reported as-is).
+
+Each sketch runs in its own subprocess/JVM, min-of-N trials (fresh
+query+sink name per trial => fresh GroupState), never concurrent with
+another Spark job. Prints one JSON line per measurement; --write-md
+refreshes the round-7 section in BENCH/BASELINE.md.
+
+Usage: python tools/stress_round7.py [--events 4000000] [--cores 8]
+       [--trials 2] [--write-md] [--only hll|kmv] [--tag before|after]
+"""
+
+from __future__ import annotations
+
+import argparse
+import inspect
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+INPUT = "/tmp/stream_events_{events}"
+
+N_WINDOWS = 16
+
+GEN = r"""
+import os, sys
+os.environ["PYTHONPATH"] = {repo!r}
+sys.path.insert(0, {repo!r})
+from crossai_ts_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(app_name="gen_events", master="local[32]", shuffle_partitions=32)
+# {events} events over 16 tumbling hours; ~1M distinct keys overall so
+# the hash/fold path sees realistic cardinality, not one hot value
+ev = spark.range({events}).select(
+    F.col("id").alias("event_id"),
+    F.timestamp_seconds(
+        F.lit(1704067200) + (F.abs(F.xxhash64("id")) % 16) * 3600
+    ).alias("ts"),
+    (F.col("id") % 1000000).cast("string").alias("user_id"),
+)
+ev.repartition(8).write.mode("overwrite").parquet({path!r})
+spark.stop()
+"""
+
+CHILD = r"""
+import json, os, sys, time
+os.environ["PYTHONPATH"] = {repo!r}
+sys.path.insert(0, {repo!r})
+from crossai_ts_spark.session import get_spark
+from pyspark.sql import functions as F
+from crossai_ts_spark.streaming.rollup_stream import streaming_hll, streaming_kmv
+import inspect
+
+spark = get_spark(app_name="stress_stream_{which}", master="local[{cores}]",
+                  shuffle_partitions={cores})
+spark.sparkContext.setLogLevel("ERROR")
+
+n_events = spark.read.parquet({path!r}).count()
+fn = {{"hll": streaming_hll, "kmv": streaming_kmv}}["{which}"]
+has_hash = "hash" in inspect.signature(fn).parameters
+families = ["md5", "xxhash64"] if has_hash else ["md5"]
+
+def one_trial(hash, name):
+    raw = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id string"
+    ).option("maxFilesPerTrigger", 9999).parquet({path!r})
+    kw = dict(key="user_id", ts_col="ts", window_sec=3600)
+    if has_hash:
+        kw["hash"] = hash
+    out = fn(raw, **kw)
+    t0 = time.monotonic()
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(name).start())
+    deadline = time.monotonic() + 1800
+    try:
+        while spark.sql(f"SELECT count(*) c FROM {{name}}").first()["c"] < {n_windows}:
+            assert time.monotonic() < deadline, "sink never filled"
+            time.sleep(0.25)
+        wall = time.monotonic() - t0
+        emitted = spark.sql(f"SELECT * FROM {{name}}").collect()
+    finally:
+        q.stop()
+    return wall, emitted
+
+out = {{"n_events": n_events, "n_windows": {n_windows}}}
+for hash in families:
+    walls, emitted = [], None
+    for t in range({trials}):
+        wall, emitted = one_trial(hash, f"sink_{{hash}}_{{t}}")
+        walls.append(round(wall, 2))
+    tot = sum(r.n_events for r in emitted)
+    assert tot == n_events, (tot, n_events)
+    out[hash] = {{"wall": min(walls), "walls": walls,
+                 "events_per_sec": round(n_events / min(walls))}}
+print("RESULT " + json.dumps(out))
+spark.stop()
+"""
+
+
+def run_child(code: str, **fmt) -> dict:
+    r = subprocess.run(
+        [sys.executable, "-c", code.format(repo=REPO, **fmt)],
+        capture_output=True, text=True, timeout=5400,
+    )
+    for line in r.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=4_000_000)
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--write-md", action="store_true")
+    ap.add_argument("--only", choices=["hll", "kmv"])
+    ap.add_argument("--tag", default="", help="label printed with results")
+    args = ap.parse_args()
+
+    path = INPUT.format(events=args.events)
+    if not os.path.isdir(path):
+        subprocess.run(
+            [sys.executable, "-c", GEN.format(repo=REPO, events=args.events, path=path)],
+            check=True, capture_output=True, timeout=3000,
+        )
+
+    results = {}
+    for which in ("hll", "kmv"):
+        if args.only in (None, which):
+            results[which] = run_child(
+                CHILD, which=which, cores=args.cores, trials=args.trials,
+                path=path, n_windows=N_WINDOWS,
+            )
+            print(json.dumps({which: results[which], "tag": args.tag}))
+
+    if args.write_md and len(results) == 2:
+        before_path = os.path.join(REPO, "BENCH", "stress_r7_before.json")
+        before = json.load(open(before_path)) if os.path.exists(before_path) else None
+        h, k = results["hll"], results["kmv"]
+
+        def row(name, res, fam, before_eps):
+            cmp = ""
+            if before_eps:
+                cmp = f" ({res[fam]['events_per_sec'] / before_eps:.1f}x the r6 fold)"
+            return (
+                f"| {name}, {fam} | {res[fam]['wall']} "
+                f"(trials {res[fam]['walls']}) | "
+                f"**{res[fam]['events_per_sec']:,}**{cmp} |"
+            )
+
+        b_h = before["hll"]["md5"]["events_per_sec"] if before else None
+        b_k = before["kmv"]["md5"]["events_per_sec"] if before else None
+        lines = [row("streaming_hll", h, "md5", b_h)]
+        if "xxhash64" in h:
+            lines.append(row("streaming_hll", h, "xxhash64", b_h))
+        lines.append(row("streaming_kmv", k, "md5", b_k))
+        if "xxhash64" in k:
+            lines.append(row("streaming_kmv", k, "xxhash64", b_k))
+        before_md = ""
+        if before:
+            before_md = (
+                f"\nr6 per-event-Python folds on the same input (recorded "
+                f"before the rewrite, BENCH/stress_r7_before.json): "
+                f"streaming_hll {before['hll']['md5']['events_per_sec']:,} "
+                f"events/s (per-event hashlib.md5 + Python register loop), "
+                f"streaming_kmv {before['kmv']['md5']['events_per_sec']:,} "
+                f"events/s (per-event bisect insert).\n"
+            )
+        md = f"""
+## Round-7 streaming-sketch ingest stress (local[{args.cores}], min-of-{args.trials}, own JVM per sketch)
+
+{h['n_events']:,} events ({N_WINDOWS} tumbling hourly windows, ~1M
+distinct keys) through the full streaming path — parquet stream source
+-> hash projection -> stateful applyInPandasWithState fold -> memory
+sink — wall from query start to the sink holding all {N_WINDOWS} window
+emissions (startup included; ProcessingTimeTimeout streams never
+quiesce, so the sink count is the completion signal):
+
+| stream | wall (s) | events/s |
+|---|---|---|
+{chr(10).join(lines)}
+{before_md}
+The r7 fold hashes in the SQL projection (`_hash60`, the batch
+expression — md5 family for oracle-bitwise parity, xxhash64 as the
+production family, now plumbed through both streams) and folds each
+Arrow chunk with numpy (`np.maximum.at` register max / masked
+`np.unique` bottom-k merge); state stays 64 longs / k longs per window
+and the batch-parity tests remain bitwise green.
+"""
+        _write_section(md)
+        print("[stress] wrote round-7 section to BENCH/BASELINE.md")
+    return 0
+
+
+def _write_section(md: str) -> None:
+    """Replace any previous round-7 streaming-stress section."""
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    marker = "<!-- extra-sections -->"
+    head_tag = "## Round-7 streaming-sketch ingest stress"
+    txt = open(out_path).read()
+    if marker not in txt:
+        txt += "\n" + marker + "\n"
+    if head_tag in txt:
+        pre = txt[: txt.index(head_tag)].rstrip() + "\n"
+        rest = txt[txt.index(head_tag):]
+        nxt = rest.find("\n## ", 1)
+        txt = pre + (rest[nxt + 1:] if nxt != -1 else "")
+    with open(out_path, "w") as f:
+        f.write(txt.rstrip() + "\n" + md)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
