@@ -202,3 +202,38 @@ def test_round6_sketches_partition_invariant(spark):
     r13 = run(13)
     for a, b, name in zip(r1, r13, ["kmv", "hll_xxh", "cms_xxh", "mixing"]):
         assert a == b, f"{name} results depend on partitioning!"
+
+
+def test_kmv_prefilter_fallback_partition_invariant(spark):
+    """VERDICT r6 #8: the KMV exactness-fallback branch (hll.py) is the one
+    path the round-6 invariance sweep never drove — force it with a
+    too-deep threshold (candidate_factor < 1 keeps ~0.8 expected hashes
+    per window, far short of k=8, so EVERY filtered window takes the
+    broadcast redo) and assert the output is BITWISE equal to the
+    unfiltered two-phase plan at 2/8/32 shuffle partitions."""
+    from pyspark.sql import functions as F
+
+    from crossai_ts_spark.operators.hll import kmv_sketch
+
+    rows = [(i, f"2024-01-01 0{i % 3}:10:2{i % 5}", i * 7 % 311) for i in range(1500)]
+    base = spark.createDataFrame(rows, "event_id long, ts_s string, user_id long")
+    ev = base.select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id")
+
+    def sketch(prefilter, cf=64.0):
+        km = (
+            kmv_sketch(ev, k=8, n_salts=4, prefilter=prefilter, candidate_factor=cf)
+            .toPandas().sort_values("window_start")
+        )
+        return [(int(w), tuple(ks), float(e)) for w, ks, e in
+                zip(km.window_start, km.ks, km.n_distinct_est)]
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        want = sketch(prefilter=False)
+        for parts in (2, 8, 32):
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            got = sketch(prefilter=True, cf=0.1)  # every window -> redo
+            assert got == want, f"fallback diverges at {parts} partitions"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -196,12 +196,24 @@ quiesce, so the sink count is the completion signal):
 |---|---|---|
 {chr(10).join(lines)}
 {before_md}
-The r7 fold hashes in the SQL projection (`_hash60`, the batch
-expression — md5 family for oracle-bitwise parity, xxhash64 as the
-production family, now plumbed through both streams) and folds each
-Arrow chunk with numpy (`np.maximum.at` register max / masked
-`np.unique` bottom-k merge); state stays 64 longs / k longs per window
-and the batch-parity tests remain bitwise green.
+The r7 ingest path is two-stage: (1) the 60-bit hash moves into the SQL
+projection (`_hash60`, the batch expression — md5 family for
+oracle-bitwise parity, xxhash64 as the production family, now plumbed
+through both streams); (2) a stateless `mapInPandas` MAP-SIDE COMBINE
+folds each Arrow chunk into per-window partial sketches with numpy
+(`np.maximum.at` register max / per-window `np.unique` bottom-k), so
+the stateful shuffle moves O(chunks x windows) sketch rows instead of
+O(events) raw rows — the same partial-agg shape the batch
+HashAggregate has. Register-max and bottom-k-merge are associative, so
+results stay BITWISE equal to the event-at-a-time definition
+(batch-parity tests green). State stays 64 longs / k longs per window.
+
+Walls include ~1.45 s of fixed streaming-query startup (measured: the
+identical query on a 16k-event input reads [1.45, 1.51] s warm), so
+net processing rate at 16M events is ~6.5M events/s (hll) / ~9.4M
+(kmv) on the xxhash64 family — within ~3-4.4x of the BATCH xxhash64
+groupBy's 28.8M tokens/s, with the gap now the one unavoidable Arrow
+pass over raw events (the batch plan never leaves the JVM).
 """
         _write_section(md)
         print("[stress] wrote round-7 section to BENCH/BASELINE.md")
