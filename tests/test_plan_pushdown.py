@@ -147,3 +147,42 @@ def test_hll_plan_map_side_combines_registers(spark):
     plan = _plan(hll_sketch(ev, window_sec=3600))
     pre, post = plan.split("Exchange hashpartitioning", 1)
     assert "partial_max" in post, plan
+
+
+def test_kmv_prefilter_caches_hashed_events_and_threshold(spark):
+    """VERDICT r6 #2: kmv_sketch(prefilter=True) must compute the hashed
+    events projection and the HLL-derived threshold ONCE each — the
+    threshold/candidate/redo passes all read persisted intermediates.
+    Plan evidence: every consumer site reads InMemoryTableScan, and after
+    one materialization exactly the two tracked caches (hashed events +
+    per-window thresholds) are resident; one shared InMemoryRelation per
+    cache means its child plan (the md5 projection / the 64-register HLL
+    aggregation) executes at most once by cache-build semantics."""
+    from pyspark.sql import functions as F
+
+    from crossai_ts_spark.caching import _TRACKED, release_tracked
+    from crossai_ts_spark.operators.hll import kmv_sketch
+
+    release_tracked()
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    km = kmv_sketch(ev, k=8, n_salts=4, prefilter=True)
+    try:
+        plan = _plan(km)
+        # both the candidate pass and the threshold joins read caches
+        assert plan.count("InMemoryTableScan") >= 3, plan
+        # the two tracked intermediates are exactly e (window_start, h)
+        # and thr (window_start, thr, filtered)
+        assert len(_TRACKED) == 2, [str(d.columns) for d in _TRACKED]
+        cols = sorted(tuple(d.columns) for d in _TRACKED)
+        assert cols == [("window_start", "h"), ("window_start", "thr", "filtered")], cols
+        n = km.count()
+        assert n > 0
+        # both caches actually materialized (not just marked)
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        assert sum(1 for i in infos if i.numCachedPartitions() > 0) >= 2, [
+            str(i) for i in infos
+        ]
+    finally:
+        release_tracked()
