@@ -37,13 +37,28 @@ def s3_available(spark: SparkSession) -> bool:
         return False
 
 
-def s3a_path(location: str) -> str:
-    """Normalize any S3 URI scheme to the one Spark/Hadoop actually
-    implements: ``s3://`` and the legacy ``s3n://`` both map to
-    ``s3a://`` (reference parity: caits loaders address buckets with
-    plain s3 URLs; on Spark the S3A connector is the supported client)."""
-    for scheme in ("s3://", "s3n://"):
+def s3a_path(location: str, spark: SparkSession | None = None,
+             keep_scheme: bool = False) -> str:
+    """Normalize an S3 URI scheme to the client Spark/Hadoop will
+    actually use: ``s3://`` and the legacy ``s3n://`` map to ``s3a://``
+    (reference parity: caits loaders address buckets with plain s3 URLs;
+    on vanilla Spark the S3A connector is the supported client).
+
+    The rewrite is GATED (ADVICE r6): if the live hadoop conf binds a
+    dedicated filesystem to the caller's scheme (``fs.s3.impl`` /
+    ``fs.s3n.impl`` — on EMR that is EMRFS, the supported,
+    consistency-tuned client there), the scheme is preserved — forcing
+    s3a would swap the filesystem implementation, committer, and
+    credential chain behind the caller's back. ``keep_scheme=True``
+    skips normalization unconditionally."""
+    if keep_scheme:
+        return location
+    for scheme, impl_key in (("s3://", "fs.s3.impl"), ("s3n://", "fs.s3n.impl")):
         if location.startswith(scheme):
+            if spark is not None:
+                conf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+                if conf.get(impl_key, ""):
+                    return location  # dedicated handler bound (e.g. EMRFS)
             return "s3a://" + location[len(scheme):]
     return location
 
@@ -85,7 +100,7 @@ def read_table(spark: SparkSession, location: str) -> DataFrame:
     parquet path/dir."""
     if location.startswith("iceberg:"):
         return spark.read.format("iceberg").load(location[len("iceberg:") :])
-    return spark.read.parquet(s3a_path(location))
+    return spark.read.parquet(s3a_path(location, spark))
 
 
 def write_table(
@@ -104,7 +119,7 @@ def write_table(
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(s3a_path(location))
+    w.parquet(s3a_path(location, df.sparkSession))
 
 
 def read_sequences(spark: SparkSession, location: str) -> DataFrame:

@@ -14,6 +14,26 @@ def test_s3a_path_normalization():
     assert s3a_path("file:///x") == "file:///x"
 
 
+def test_s3a_rewrite_gated_on_bound_handler(spark):
+    """ADVICE r6: when the hadoop conf binds a dedicated filesystem to
+    s3:// (EMRFS on EMR), the scheme must be PRESERVED — rewriting to
+    s3a would swap implementation/committer/credentials behind the
+    caller's back. keep_scheme=True skips normalization outright."""
+    from crossai_ts_spark.sources.io import s3a_path
+
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert not conf.get("fs.s3.impl", "")  # sandbox: no handler bound
+    assert s3a_path("s3://b/x", spark) == "s3a://b/x"
+    conf.set("fs.s3.impl", "com.amazon.ws.emr.hadoop.fs.EmrFileSystem")
+    try:
+        assert s3a_path("s3://b/x", spark) == "s3://b/x"  # EMRFS preserved
+        assert s3a_path("s3n://b/x", spark) == "s3a://b/x"  # s3n unbound
+    finally:
+        conf.unset("fs.s3.impl")
+    assert s3a_path("s3://b/x", spark) == "s3a://b/x"
+    assert s3a_path("s3://b/x", keep_scheme=True) == "s3://b/x"
+
+
 def test_configure_s3_sets_hadoop_conf(spark):
     from crossai_ts_spark.sources.io import configure_s3
 
