@@ -66,8 +66,18 @@ def hll_sketch(
         ).alias("window_start"),
         h.alias("h"),
     )
+    return _reg_rank_fold(e, "window_start")
+
+
+def _reg_rank_fold(e: DataFrame, *group_cols: str) -> DataFrame:
+    """(group_cols..., reg, M) from a projection carrying an ``h`` 60-bit
+    hash column: register = h mod m, rank = trailing-zeros-of-payload + 1
+    via pure integer ops (lowbit = p & -p; rank = length(bin(lowbit))),
+    folded by an incremental groupBy MAX. Shared verbatim by the batch
+    sketch and the native streaming twin so their registers are bitwise
+    one plan."""
     r = e.select(
-        "window_start",
+        *group_cols,
         (F.col("h") % M_REGS).cast("long").alias("reg"),
         F.expr(f"h div {M_REGS}").alias("p"),
     )
@@ -75,8 +85,8 @@ def hll_sketch(
         F.length(F.bin(F.expr("p & -p")))
     )
     return (
-        r.select("window_start", "reg", rank.cast("long").alias("rank"))
-        .groupBy("window_start", "reg")
+        r.select(*group_cols, "reg", rank.cast("long").alias("rank"))
+        .groupBy(*group_cols, "reg")
         .agg(F.max("rank").alias("M"))
     )
 

@@ -443,6 +443,43 @@ def streaming_hll(stream: DataFrame, key: str = "user_id", ts_col: str = "ts",
     )
 
 
+def streaming_hll_native(stream: DataFrame, key: str = "user_id",
+                         ts_col: str = "ts", window_sec: int = 3600,
+                         watermark: str = "2 hours",
+                         hash: str = "md5") -> DataFrame:
+    """Zero-Python streaming HLL register stream — the ``streaming_cms``
+    move applied to distinct counting: the batch ``hll_sketch`` fold
+    (groupBy window+register, MAX rank) is itself an incremental
+    aggregation, so run AS the streaming plan it keeps <= 64 register
+    rows of JVM HashAggregate state per active window and never leaves
+    whole-stage codegen — no Arrow pass, no Python worker, ingest at the
+    batch fold's rate. Register rows are bitwise the batch sketch's at
+    every stream prefix (register MAX is associative; parity-tested),
+    so :func:`~..operators.hll.hll_estimate` over the sink IS the batch
+    estimate.
+
+    Complements :func:`streaming_hll`, which pays one vectorized Arrow
+    pass to emit fully-assembled per-window ESTIMATES every trigger
+    under a processing-time TTL. This twin emits raw (window_start,
+    reg, M) register rows and scopes state by event-time WATERMARK:
+    run with outputMode('update') (changed registers per trigger;
+    per-key M is monotone, so max-per-key over the sink = final) or
+    'append' (final registers once the watermark passes window end).
+    Estimator assembly happens downstream, off the ingest path, exactly
+    as in the batch tiering."""
+    from ..operators.hll import _hash60, _reg_rank_fold
+
+    e = stream.withWatermark(ts_col, watermark).select(
+        F.window(F.col(ts_col), f"{window_sec} seconds").alias("win"),
+        _hash60(F.col(key), hash).alias("h"),
+    )
+    return _reg_rank_fold(e, "win").select(
+        F.unix_timestamp(F.col("win.start")).cast("long").alias("window_start"),
+        "reg",
+        "M",
+    )
+
+
 def streaming_cms(stream: DataFrame, key: str, d: int = 4, w: int = 8192,
                   hash: str = "md5") -> DataFrame:
     """Continuous count-min sketch (the streaming face of operators/cms):

@@ -761,3 +761,68 @@ def test_incremental_tier1_state_ttl_flushes_tail(spark, tmp_path):
     # flushed tail carries the exact aggregates of tokens 208..210
     tail = b[b.window_start == 8].iloc[0]
     assert (tail.t_min, tail.t_max, tail.t_sum, tail.t_last) == (208, 210, 627, 210)
+
+
+def test_streaming_hll_native_matches_batch_bitwise(spark, tmp_path):
+    """r7: the zero-Python native twin — the batch hll_sketch fold run AS
+    a streaming aggregation. Max-per-(window,reg) over the update-mode
+    sink must be BITWISE the batch hll_sketch register rows (shared
+    _reg_rank_fold plan), for both the md5 oracle family and the
+    xxhash64 production family; hll_estimate over those registers is
+    then the batch estimate by construction."""
+    import pandas as pd
+
+    from crossai_ts_spark.operators.hll import hll_estimate, hll_sketch
+    from crossai_ts_spark.streaming.rollup_stream import (
+        run_to_memory,
+        streaming_hll_native,
+    )
+
+    rows = [(i, f"2024-01-01 0{i % 4}:1{i % 5}:2{i % 3}", i * 13 % 97) for i in range(600)]
+    schema = "event_id long, ts_s string, user_id long"
+    in_dir = tmp_path / "hll_native_stream"
+    spark.createDataFrame(rows[:300], schema).coalesce(1).write.parquet(str(in_dir / "b0"))
+    spark.createDataFrame(rows[300:], schema).coalesce(1).write.parquet(str(in_dir / "b1"))
+
+    for fam, sink in (("md5", "hll_native_out"), ("xxhash64", "hll_native_xx_out")):
+        raw = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+            str(in_dir) + "/*"
+        )
+        ev = raw.select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id")
+        # pure streaming agg, no timers -> processAllAvailable() terminates
+        run_to_memory(
+            streaming_hll_native(ev, window_sec=3600, hash=fam), sink, "update"
+        )
+        # update mode re-emits a (window,reg) row whenever its M grows;
+        # per-key M is monotone, so max over the sink = final register
+        got = (
+            spark.sql(
+                f"SELECT window_start, reg, max(M) AS M FROM {sink} "
+                "GROUP BY window_start, reg"
+            )
+            .toPandas()
+            .sort_values(["window_start", "reg"])
+            .reset_index(drop=True)
+        )
+
+        batch_ev = spark.createDataFrame(rows, schema).select(
+            "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id"
+        )
+        want = (
+            hll_sketch(batch_ev, window_sec=3600, hash=fam)
+            .toPandas()
+            .sort_values(["window_start", "reg"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+        # and the estimator over the streamed registers is the batch estimate
+        est_stream = (
+            hll_estimate(spark.createDataFrame(got))
+            .toPandas().sort_values("window_start").reset_index(drop=True)
+        )
+        est_batch = (
+            hll_estimate(hll_sketch(batch_ev, window_sec=3600, hash=fam))
+            .toPandas().sort_values("window_start").reset_index(drop=True)
+        )
+        assert list(est_stream["est_distinct"]) == list(est_batch["est_distinct"])
