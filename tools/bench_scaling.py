@@ -27,6 +27,7 @@ import shutil
 import statistics
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 INPUT = "/tmp/scale_input_{docs}"
@@ -107,6 +108,13 @@ for line in sys.stdin:
         t0 = time.monotonic()
         n_segs = job()
         print("WALL %.3f" % (time.monotonic() - t0), flush=True)
+    elif cmd == "GC":
+        # synchronous full GC so this JVM's garbage from its own trial is
+        # collected NOW, while no one is being timed — not concurrently
+        # during the OTHER level's next trial (idle-JVM background GC
+        # threads steal cores from the short high-level walls)
+        spark._jvm.System.gc()
+        print("GCOK", flush=True)
     elif cmd == "META":
         meta = spark.read.parquet({path!r}).selectExpr(
             "count(*) AS n_seq", "sum(cast(n_tok as bigint)) AS n_tok").collect()[0]
@@ -154,6 +162,10 @@ class _StepChild:
         self.p.stdin.write("GO\n")
         return float(self._read("WALL"))
 
+    def gc(self) -> None:
+        self.p.stdin.write("GC\n")
+        self._read("GCOK")
+
     def meta(self) -> dict:
         self.p.stdin.write("META\n")
         return json.loads(self._read("METAJ"))
@@ -177,18 +189,54 @@ def run_interleaved(low: int, high: int, path: str, pairs: int,
     lo_c.wait_ready(); hi_c.wait_ready()
     lo_walls, hi_walls, pair_effs = [], [], []
     ratio = high / low
-    for i in range(warmup_pairs):
-        wl, wh = lo_c.trial(), hi_c.trial()
-        print(f"warmup pair {i + 1}/{warmup_pairs}: local[{low}] {wl:.2f}s "
-              f"local[{high}] {wh:.2f}s eff {(wl / wh) / ratio:.3f} (excluded)",
-              flush=True)
+    # Adaptive warm-up (r7): ``warmup_pairs`` is the MINIMUM. The high-level
+    # JVM takes 6-9 full trials to reach its wall floor on this microVM
+    # (first-touch page faults + JIT + heap shakeout — r7 measured local[8]
+    # walls 14.2 -> 10.0 across 8 trials on identical code and input), so a
+    # fixed small warm-up lets shakeout leak into the measured pairs and
+    # depress their efficiency. Keep running unrecorded pairs until BOTH
+    # levels' walls have converged to their running floor (within 8%) on
+    # two consecutive pairs, capped at 12 pairs.
+    def timed_pair() -> tuple[float, float]:
+        # each trial is followed by a synchronous full GC in ITS OWN JVM
+        # plus a short settle, so neither JVM's deferred garbage is
+        # collected concurrently with the other level's timed window —
+        # idle-JVM GC threads were stealing cores from the short
+        # high-level walls (measured: local[8] oscillated 10.1-13.4 s
+        # with no ambient load spike before this)
+        wl = lo_c.trial(); lo_c.gc(); time.sleep(1.5)
+        wh = hi_c.trial(); hi_c.gc(); time.sleep(1.5)
+        return wl, wh
+
+    wl_min = wh_min = float("inf")
+    converged_streak = 0
+    for i in range(12):
+        wl, wh = timed_pair()
+        wl_min, wh_min = min(wl_min, wl), min(wh_min, wh)
+        at_floor = wl <= 1.08 * wl_min and wh <= 1.08 * wh_min
+        converged_streak = converged_streak + 1 if at_floor else 0
+        print(f"warmup pair {i + 1}: local[{low}] {wl:.2f}s "
+              f"local[{high}] {wh:.2f}s eff {(wl / wh) / ratio:.3f} "
+              f"(excluded{', at floor' if at_floor else ''})", flush=True)
+        if i + 1 >= warmup_pairs and converged_streak >= 2:
+            break
+    def load1() -> float:
+        try:
+            with open("/proc/loadavg") as f:
+                return float(f.read().split()[0])
+        except OSError:
+            return -1.0
+
     for i in range(pairs):
-        wl = lo_c.trial()
-        wh = hi_c.trial()
+        l0 = load1()
+        wl, wh = timed_pair()
         lo_walls.append(wl); hi_walls.append(wh)
         pair_effs.append((wl / wh) / ratio)
+        # load1 brackets disclose ambient contention per pair (the bench.py
+        # pattern): ambient load beyond the trial's own cores marks a pair
+        # whose efficiency measured weather, not the job
         print(f"pair {i + 1}/{pairs}: local[{low}] {wl:.2f}s local[{high}] {wh:.2f}s "
-              f"eff {pair_effs[-1]:.3f}", flush=True)
+              f"eff {pair_effs[-1]:.3f} load1 {l0:.2f}->{load1():.2f}", flush=True)
     m = lo_c.meta()
     hi_m = hi_c.meta()
     lo_c.close(); hi_c.close()
@@ -259,8 +307,16 @@ def main() -> int:
             "\nProtocol: INTERLEAVED — both level JVMs stay up and trials\n"
             "alternate local[{}] / local[{}] back-to-back, so each adjacent pair\n"
             "shares one ambient-speed window of this drifting shared host.\n"
-            "{} unrecorded warm-up pairs precede the measured ones (fresh-JVM\n"
-            "first-touch page faults dominate early trials on this microVM).\n"
+            "Unrecorded ADAPTIVE warm-up pairs precede the measured ones:\n"
+            "warm-up runs until both levels' walls converge to their running\n"
+            "floor (within 8% on two consecutive pairs; min {}, cap 12) —\n"
+            "the high-level JVM takes 6-9 full trials of first-touch\n"
+            "page-fault + JIT + heap shakeout on this microVM before its\n"
+            "wall floor (r7 measured local[8] 14.2s -> 10.0s on identical\n"
+            "code and page-cached input). Every trial is followed by a\n"
+            "synchronous full GC in its own JVM plus a settle, so neither\n"
+            "JVM's deferred garbage is collected concurrently with the\n"
+            "other level's timed window.\n"
             "The headline efficiency is the MEDIAN measured pair (max-of-pairs\n"
             "is an upward-biased estimator: ambient noise hitting only the\n"
             "low-core trial inflates its pair, so the best pair is an upper\n"
