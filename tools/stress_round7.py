@@ -112,6 +112,54 @@ spark.stop()
 """
 
 
+CHILD_NATIVE = r"""
+import json, os, sys, time
+os.environ["PYTHONPATH"] = {repo!r}
+sys.path.insert(0, {repo!r})
+from crossai_ts_spark.session import get_spark
+from pyspark.sql import functions as F
+from crossai_ts_spark.streaming.rollup_stream import streaming_hll_native
+
+spark = get_spark(app_name="stress_stream_hllnative", master="local[{cores}]",
+                  shuffle_partitions={cores})
+spark.sparkContext.setLogLevel("ERROR")
+
+n_events = spark.read.parquet({path!r}).count()
+
+def one_trial(hash, name):
+    raw = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id string"
+    ).option("maxFilesPerTrigger", 9999).parquet({path!r})
+    out = streaming_hll_native(raw, key="user_id", ts_col="ts",
+                               window_sec=3600, hash=hash)
+    # pure streaming aggregation, no timers: processAllAvailable() IS the
+    # completion signal (unlike the GroupState streams above)
+    t0 = time.monotonic()
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName(name).start())
+    q.processAllAvailable()
+    wall = time.monotonic() - t0
+    n_regs = spark.sql(
+        f"SELECT count(DISTINCT window_start * 64 + reg) c FROM {{name}}"
+    ).first()["c"]
+    q.stop()
+    return wall, n_regs
+
+out = {{"n_events": n_events, "n_windows": {n_windows}}}
+for hash in ("md5", "xxhash64"):
+    walls, n_regs = [], None
+    for t in range({trials}):
+        wall, n_regs = one_trial(hash, f"nat_sink_{{hash}}_{{t}}")
+        walls.append(round(wall, 2))
+    # ~1M distinct keys -> every one of the 16 windows saturates all 64 regs
+    assert n_regs == {n_windows} * 64, n_regs
+    out[hash] = {{"wall": min(walls), "walls": walls,
+                 "events_per_sec": round(n_events / min(walls))}}
+print("RESULT " + json.dumps(out))
+spark.stop()
+"""
+
+
 def run_child(code: str, **fmt) -> dict:
     r = subprocess.run(
         [sys.executable, "-c", code.format(repo=REPO, **fmt)],
@@ -129,7 +177,7 @@ def main() -> int:
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--write-md", action="store_true")
-    ap.add_argument("--only", choices=["hll", "kmv"])
+    ap.add_argument("--only", choices=["hll", "kmv", "hllnative"])
     ap.add_argument("--tag", default="", help="label printed with results")
     args = ap.parse_args()
 
@@ -148,8 +196,14 @@ def main() -> int:
                 path=path, n_windows=N_WINDOWS,
             )
             print(json.dumps({which: results[which], "tag": args.tag}))
+    if args.only in (None, "hllnative"):
+        results["hllnative"] = run_child(
+            CHILD_NATIVE, cores=args.cores, trials=args.trials,
+            path=path, n_windows=N_WINDOWS,
+        )
+        print(json.dumps({"hllnative": results["hllnative"], "tag": args.tag}))
 
-    if args.write_md and len(results) == 2:
+    if args.write_md and len(results) >= 2:
         before_path = os.path.join(REPO, "BENCH", "stress_r7_before.json")
         before = json.load(open(before_path)) if os.path.exists(before_path) else None
         h, k = results["hll"], results["kmv"]
@@ -172,6 +226,10 @@ def main() -> int:
         lines.append(row("streaming_kmv", k, "md5", b_k))
         if "xxhash64" in k:
             lines.append(row("streaming_kmv", k, "xxhash64", b_k))
+        nat = results.get("hllnative")
+        if nat:
+            lines.append(row("streaming_hll_native (zero-Python)", nat, "md5", b_h))
+            lines.append(row("streaming_hll_native (zero-Python)", nat, "xxhash64", b_h))
         before_md = ""
         if before:
             before_md = (
@@ -210,12 +268,26 @@ results stay BITWISE equal to the event-at-a-time definition
 
 Walls include ~1.45 s of fixed streaming-query startup (measured: the
 identical query on a 16k-event input reads [1.45, 1.51] s warm), so
-net processing rate at 16M events is ~6.5M events/s (hll) / ~9.4M
-(kmv) on the xxhash64 family — within ~3-4.4x of the BATCH xxhash64
-groupBy's 28.8M tokens/s, with the gap now the one unavoidable Arrow
-pass over raw events (the batch plan never leaves the JVM).
+net processing rate is several x higher than the headline events/s;
+the remaining gap to the BATCH xxhash64 groupBy's 28.8M tokens/s for
+the GroupState streams is the one Arrow pass over raw events.
+
+`streaming_hll_native` removes even that: the batch register fold
+(`_reg_rank_fold`, shared code) runs AS a watermark-scoped streaming
+aggregation — JVM HashAggregate state of <=64 register rows per active
+window, whole-stage codegen end to end, zero Python on the ingest
+path. Register rows are bitwise the batch sketch's at every prefix
+(parity-tested both hash families); estimator assembly happens
+downstream off the ingest path, exactly as in the batch tiering. The
+GroupState `streaming_hll` remains for continuous per-trigger
+ESTIMATES with processing-time TTL semantics. On the md5 family the
+native row is hex-conv-bound (the md5+conv expression dominates both
+plans); the production xxhash64 family is the design point, and there
+the native plan is the fastest streaming path measured.
 """
         _write_section(md)
+        with open(os.path.join(REPO, "BENCH", "stress_r7_after.json"), "w") as f:
+            json.dump(results, f, indent=1)
         print("[stress] wrote round-7 section to BENCH/BASELINE.md")
     return 0
 
