@@ -186,3 +186,38 @@ def test_kmv_prefilter_caches_hashed_events_and_threshold(spark):
         ]
     finally:
         release_tracked()
+
+
+def test_streaming_hll_native_plan_is_zero_python(spark, tmp_path):
+    """r7: streaming_hll_native's whole value is that the ingest path never
+    leaves the JVM — the EXECUTED streaming plan must be a pure stateful
+    HashAggregate over SQL expressions, with NO Python/Arrow evaluation
+    node anywhere. (The GroupState streaming_hll, by contrast,
+    legitimately carries a FlatMapGroupsInPandasWithState.) Asserted on
+    the live query's explainInternal after one micro-batch, which is the
+    plan that actually ran."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from crossai_ts_spark.streaming.rollup_stream import streaming_hll_native
+
+    in_dir = tmp_path / "ev"
+    spark.createDataFrame(
+        [(i, f"2024-01-01 00:00:{i % 60:02d}", str(i % 7)) for i in range(100)],
+        "event_id long, ts_s string, user_id string",
+    ).coalesce(1).write.parquet(str(in_dir / "b0"))
+    raw = spark.readStream.schema(
+        "event_id long, ts_s string, user_id string"
+    ).parquet(str(in_dir) + "/*")
+    ev = raw.select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id")
+    out = streaming_hll_native(ev, window_sec=3600, hash="xxhash64")
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("nat_plan_out").start())
+    try:
+        q.processAllAvailable()
+        plan = q._jsq.explainInternal(True)
+    finally:
+        q.stop()
+    for marker in ("Python", "Arrow", "FlatMapGroups", "MapInPandas"):
+        assert marker not in plan, f"{marker} leaked into the native plan:\n{plan}"
+    # the state IS the register fold: stateful agg grouped on (window, reg)
+    assert "StateStoreSave" in plan and "max(rank" in plan, plan
