@@ -826,3 +826,70 @@ def test_streaming_hll_native_matches_batch_bitwise(spark, tmp_path):
             .toPandas().sort_values("window_start").reset_index(drop=True)
         )
         assert list(est_stream["est_distinct"]) == list(est_batch["est_distinct"])
+
+
+def test_streaming_hll_native_append_mode_emits_after_watermark(spark, tmp_path):
+    """r7: the native twin's state is scoped by EVENT-TIME watermark (vs
+    the GroupState stream's processing-time TTL). In append mode a
+    window's registers must emit exactly once — finalized — after the
+    watermark passes window end, and windows the watermark has not
+    passed must stay unemitted (their state is still open). Batch 1
+    fills hours 0-1; batch 2 jumps to hour 6, dragging the 2h watermark
+    past both early windows; windows 0-1 then appear in the sink, final
+    and bitwise-batch-equal, while hour 6 stays open."""
+    import pandas as pd
+
+    from crossai_ts_spark.operators.hll import hll_sketch
+    from crossai_ts_spark.streaming.rollup_stream import (
+        run_until_rows,
+        streaming_hll_native,
+    )
+
+    early = [(i, f"2024-01-01 0{i % 2}:1{i % 5}:2{i % 3}", i * 13 % 41) for i in range(200)]
+    late = [(1000 + i, f"2024-01-01 06:1{i % 5}:2{i % 3}", i % 17) for i in range(50)]
+    schema = "event_id long, ts_s string, user_id long"
+    in_dir = tmp_path / "hll_native_append"
+    spark.createDataFrame(early, schema).coalesce(1).write.parquet(str(in_dir / "b0"))
+    spark.createDataFrame(late, schema).coalesce(1).write.parquet(str(in_dir / "b1"))
+
+    raw = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(in_dir) + "/*"
+    )
+    ev = raw.select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id")
+    out = streaming_hll_native(ev, window_sec=3600, watermark="2 hours",
+                               hash="xxhash64")
+    # append mode: rows arrive only once the watermark finalizes a window.
+    # 2 early windows x up to 64 regs; poll until both windows surface.
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("nat_append_out").start())
+    import time
+
+    deadline = time.monotonic() + 240
+    try:
+        while True:
+            n_win = spark.sql(
+                "SELECT count(DISTINCT window_start) c FROM nat_append_out"
+            ).first()["c"]
+            if n_win >= 2:
+                break
+            assert time.monotonic() < deadline, "early windows never finalized"
+            time.sleep(0.25)
+        got = (
+            spark.sql("SELECT * FROM nat_append_out")
+            .toPandas().sort_values(["window_start", "reg"]).reset_index(drop=True)
+        )
+    finally:
+        q.stop()
+
+    # hour 6 must NOT have emitted (watermark has not passed its end)
+    assert set(got["window_start"].unique()) == {1704067200, 1704070800}
+
+    # emitted registers are FINAL: bitwise the batch sketch of the early rows
+    batch_ev = spark.createDataFrame(early, schema).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id"
+    )
+    want = (
+        hll_sketch(batch_ev, window_sec=3600, hash="xxhash64")
+        .toPandas().sort_values(["window_start", "reg"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
