@@ -284,37 +284,43 @@ def compress_tiers(tier_df, value_col: str = "t_mean", partitions: int | None = 
 
     spark = tier_df.sparkSession
     if partitions is None:
-        # 4x the core count: doc lengths are Zipf-skewed, so cores-sized
-        # tasks straggle (measured: 4x partitions took 2->8-core scaling
-        # efficiency from 0.68 to 0.87); smaller tasks rebalance via the
-        # scheduler at negligible per-task cost
-        partitions = 4 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # default to spark.sql.shuffle.partitions (the cluster-tuned knob),
+        # NOT a 4x multiple of it: the encode stage is CPU-bound in the
+        # Python runner, so each extra task costs ~5-10 ms of runner
+        # round-trip — the old 4x count measured 1.74 s vs 0.75 s at 1x on
+        # the sf0.1 tier table at local[32]. An UNPINNED repartition("doc_id")
+        # is wrong in the other direction: AQE's byte-based coalescing sees
+        # a few MB and folds the stage to ~1 partition, serializing the
+        # encode (measured 4.2 s). Zipf doc-length skew is bounded (a doc
+        # caps at 64 Ki tokens -> <=2048 tier-1 windows), so 1x
+        # cluster-width tasks don't straggle; callers can still pin a count.
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
     def kernel(batches):
         pend: pd.DataFrame | None = None
 
         def encode_block(pdf: pd.DataFrame):
+            doc_np = pdf["doc_id"].to_numpy()
+            tier_np = pdf["tier"].to_numpy()
+            src_np = pdf["source"].to_numpy()
             keys = (pdf["doc_id"].astype(str) + "\x1f" + pdf["tier"].astype(str)).to_numpy()
             brk = np.nonzero(keys[1:] != keys[:-1])[0] + 1
             bounds = np.concatenate(([0], brk, [len(pdf)]))
             offs_all = pdf["window_start"].to_numpy(dtype=np.int64)
             vals_all = pdf[value_col].to_numpy(dtype=np.float64)
-            rows = []
-            for s, e in zip(bounds[:-1], bounds[1:]):
-                rows.append(
-                    (
-                        pdf["doc_id"].iloc[s],
-                        pdf["source"].iloc[s],
-                        np.int32(pdf["tier"].iloc[s]),
-                        np.int64(e - s),
-                        "gorilla+dod/v1",
-                        dod_encode_fast(offs_all[s:e]),
-                        gorilla_encode_fast(vals_all[s:e]),
-                    )
-                )
+            starts, ends = bounds[:-1], bounds[1:]
+            # columnar assembly: per-group work is just the two encoders
+            # (no per-group pandas scalar lookups / row tuples)
             return pd.DataFrame(
-                rows,
-                columns=["doc_id", "source", "tier", "n_points", "codec", "ts_blob", "val_blob"],
+                {
+                    "doc_id": doc_np[starts],
+                    "source": src_np[starts],
+                    "tier": tier_np[starts].astype(np.int32),
+                    "n_points": (ends - starts).astype(np.int64),
+                    "codec": np.repeat("gorilla+dod/v1", starts.size),
+                    "ts_blob": [dod_encode_fast(offs_all[s:e]) for s, e in zip(starts, ends)],
+                    "val_blob": [gorilla_encode_fast(vals_all[s:e]) for s, e in zip(starts, ends)],
+                }
             )
 
         for pdf in batches:
@@ -343,27 +349,30 @@ def compress_tiers(tier_df, value_col: str = "t_mean", partitions: int | None = 
 
 
 def decompress_tiers(seg_df):
-    """Compressed segments -> (doc_id, source, tier, window_start, value) rows."""
+    """Compressed segments -> (doc_id, source, tier, window_start, value) rows.
+
+    Per-segment work is just the two decoders (offsets via the vectorized
+    dod_decode_fast — bit-identical to the golden decoder, tested); the
+    output batch is assembled once per Arrow batch with np.repeat /
+    np.concatenate instead of one pandas frame per segment.
+    """
 
     def decode(batches):
         for pdf in batches:
-            outs = []
-            for row in pdf.itertuples(index=False):
-                offs = dod_decode(bytes(row.ts_blob))
-                vals = gorilla_decode(bytes(row.val_blob))
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "doc_id": np.repeat(row.doc_id, len(offs)),
-                            "source": np.repeat(row.source, len(offs)),
-                            "tier": np.full(len(offs), row.tier, dtype=np.int32),
-                            "window_start": offs,
-                            "value": vals,
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+            offs_l = [dod_decode_fast(bytes(b)) for b in pdf["ts_blob"]]
+            vals_l = [gorilla_decode(bytes(b)) for b in pdf["val_blob"]]
+            if not offs_l:
+                continue
+            n = np.array([o.size for o in offs_l], dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), n),
+                    "source": np.repeat(pdf["source"].to_numpy(), n),
+                    "tier": np.repeat(pdf["tier"].to_numpy().astype(np.int32), n),
+                    "window_start": np.concatenate(offs_l),
+                    "value": np.concatenate(vals_l),
+                }
+            )
 
     schema = "doc_id string, source string, tier int, window_start long, value double"
     return seg_df.mapInPandas(decode, schema=schema)
