@@ -196,15 +196,26 @@ def simhash_signatures(sh: DataFrame, bits: int = 32) -> DataFrame:
 
 
 def _cos_pairs(pairs: DataFrame, threshold: float) -> DataFrame:
+    """Score (ea, eb) pairs that carry pre-attached norms _na/_nb.
+
+    The norms are computed ONCE per vector row (see similarity._norm) so a
+    pair costs one O(dim) fold, not three; dot/(na*nb) is bit-identical to
+    the inlined dot/(sqrt(aa)*sqrt(bb)) — the same fold produces na/nb,
+    and the multiply/divide order is unchanged."""
     dot = (
         "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
         "cast(0.0 as double), (acc, v) -> acc + v)"
     )
-    cos = (
-        F.expr(dot.format(a="ea", b="eb"))
-        / (F.sqrt(F.expr(dot.format(a="ea", b="ea"))) * F.sqrt(F.expr(dot.format(a="eb", b="eb"))))
-    )
+    cos = F.expr(dot.format(a="ea", b="eb")) / (F.col("_na") * F.col("_nb"))
     return pairs.select("id_a", "id_b", cos.alias("cos_sim")).filter(F.col("cos_sim") >= threshold)
+
+
+def _norm_expr(col: str):
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    return F.sqrt(F.expr(dot.format(a=col, b=col)))
 
 
 def embedding_near_dups(
@@ -230,8 +241,14 @@ def embedding_near_dups(
 
     exact=True keeps the brute-force cross join (test/oracle sizes only).
     """
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+        _norm_expr("embedding").alias("_na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
+        _norm_expr("embedding").alias("_nb"),
+    )
     if exact:
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
         return _cos_pairs(pairs, threshold)
@@ -254,6 +271,15 @@ def embedding_near_dups(
     tabs = base.select("vec_id", F.explode(tb).alias("tb")).select(
         F.col("tb.tbl").alias("tbl"), "vec_id", F.col("tb.bucket").alias("bucket")
     )
+    # the bucket table feeds the cap aggregate AND both sides of the
+    # candidate self-join — without a persist the n_tables x n_bits
+    # hyperplane folds run three times (measured 3 x 0.48 s at sf0.1).
+    # Narrow (tbl, vec_id, bucket) rows, ~10x smaller than the embeddings
+    # themselves — the same signature-"model" persist as the MinHash band
+    # table above; tracked so harnesses can release it after the action.
+    from ..caching import tracked_persist
+
+    tabs = tracked_persist(tabs, StorageLevel.MEMORY_AND_DISK)
     if max_bucket is not None:
         # oversized buckets are a tiny set -> broadcast left_anti (the full
         # bucket table never shuffles for the cap)

@@ -29,11 +29,43 @@ def _cos(a: str, b: str):
     )
 
 
+def _norm(col: str):
+    """sqrt(dot(col, col)) — the per-vector factor of the cosine.
+
+    Computed ONCE per vector row (guide §2.3 "don't compute things you
+    throw away"): scoring a candidate pair as dot/(na*nb) with
+    pre-attached norms runs ONE O(dim) fold per pair instead of three,
+    and the floats are bit-identical — the norm fold is the same
+    expression either side of the join, and sqrt(aa)*sqrt(bb) stays the
+    same multiply."""
+    return F.sqrt(F.expr(_DOT.format(a=col, b=col)))
+
+
+def _cos_with_norms(a: str, b: str, na: str = "_na", nb: str = "_nb"):
+    """dot(a,b) / (na * nb) with norms precomputed by :func:`_norm`."""
+    return F.expr(_DOT.format(a=a, b=b)) / (F.col(na) * F.col(nb))
+
+
+def _arr_sql(vals) -> str:
+    """SQL array literal of float64 values, built as ONE expression string.
+
+    repr(float) round-trips (shortest correctly-rounded decimal), and
+    CAST(string AS DOUBLE) parses correctly-rounded, so each element is
+    bit-identical to the F.lit(float) literal it replaces — but the whole
+    array costs one py4j call instead of one per element (measured: the 18
+    plane literals of the 3-table near-dup bucket cost ~1.06 s of driver
+    time via F.lit lists, ~0 via expression strings)."""
+    return "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in vals) + ")"
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """Brute-force cosine top-k; queries broadcast (must be the small side)."""
-    qv = queries.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
-    pairs = F.broadcast(qv).crossJoin(corpus).filter(F.col("vec_id") != F.col("q_id"))
-    scored = pairs.select("q_id", "vec_id", _cos("qe", "embedding").alias("cos_sim"))
+    qv = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), _norm("embedding").alias("_na")
+    )
+    cv = corpus.select("vec_id", "embedding", _norm("embedding").alias("_nb"))
+    pairs = F.broadcast(qv).crossJoin(cv).filter(F.col("vec_id") != F.col("q_id"))
+    scored = pairs.select("q_id", "vec_id", _cos_with_norms("qe", "embedding").alias("cos_sim"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -54,27 +86,20 @@ def lsh_bucket_col(dim: int, n_bits: int = 8, seed: int = 42, vec: str = "embedd
     fold — no Python. Column form so multi-table callers can compute every
     table's bucket in ONE projection over ONE scan."""
     planes = _hyperplanes(dim, n_bits, seed)
-    bucket = None
-
-    def dot(a, b):
-        # identical left fold to _DOT (zip -> double product -> +)
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
-        )
-
+    # the ENTIRE bucket expression as one SQL string -> one py4j call.
+    # Building it Column-by-Column (F.lit per element, a when/otherwise per
+    # bit) cost ~0.35 s of driver time PER TABLE at dim=64/n_bits=6
+    # (measured r8); the parsed expression is semantically identical — same
+    # left fold per plane, same left-assoc sum of bit terms, CAST-from-repr
+    # literals bit-identical to F.lit floats.
+    terms = []
     for i, p in enumerate(planes):
-        # one ArrayType literal node per plane (F.lit(list)) — building
-        # each element as a cast('..' as double) expression made the
-        # near-dup plans' analysis/codegen the dominant cost (same lesson
-        # as the IVF centroids); values are bit-identical either way
-        arr = F.lit([float(x) for x in p]).cast("array<double>")
-        bit = F.when(dot(F.col(vec), arr) > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        dot = _DOT.format(a=vec, b=_arr_sql(float(x) for x in p))
+        terms.append(
+            f"(CASE WHEN {dot} > 0 THEN CAST({1 << i} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
         )
-        bucket = bit if bucket is None else bucket + bit
-    return bucket
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 def lsh_bucket(df: DataFrame, dim: int, n_bits: int = 8, seed: int = 42,
@@ -106,25 +131,21 @@ def ivf_assign(df: DataFrame, cents: list[list[float]], vec: str = "embedding") 
     expression — one JVM fold per centroid, evaluated once per row (no
     HOF-lambda inlining), so assignment is a narrow map: no shuffle, no
     Python. Centroid literals ship inside the plan like the LSH planes."""
-    def dot(a, b):
-        # same left fold as _DOT (zip -> per-element double product -> +)
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
-        )
-
     # ONE array<array<double>> literal + ONE transform lambda, not n_cent
     # separate fold expressions: per-centroid exprs compiled a plan whose
     # analysis+codegen dominated wall time (n_cent x dim literal casts
     # measured a ~1 MB task binary). `_sn` is materialized as a column
     # first — referencing it inside the lambda is a per-row read, while an
     # inlined expression would re-evaluate the self-dot per centroid
-    # (the Catalyst HOF-inlining trap).
-    carr = F.lit(cents).cast("array<array<double>>")
-    out = df.withColumn("_sn", F.sqrt(dot(F.col(vec), F.col(vec))))
-    scores = F.transform(
-        carr, lambda c: dot(F.col(vec), c) / (F.col("_sn") * F.sqrt(dot(c, c)))
+    # (the Catalyst HOF-inlining trap). The whole expression ships as ONE
+    # SQL string (one py4j call; F.lit-per-element literals cost ~0.3 s of
+    # driver time for a 16x64 model — r8) with CAST-from-repr literals
+    # bit-identical to F.lit floats.
+    carr = "array(" + ",".join(_arr_sql(float(x) for x in c) for c in cents) + ")"
+    out = df.withColumn("_sn", F.expr(f"sqrt({_DOT.format(a=vec, b=vec)})"))
+    scores = F.expr(
+        f"transform({carr}, c -> {_DOT.format(a=vec, b='c')}"
+        f" / (_sn * sqrt({_DOT.format(a='c', b='c')})))"
     )
     return (
         out.withColumn("cscore", scores)
@@ -147,18 +168,22 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, n_cent: int = 16,
     Complements lsh_topk: IVF adapts to the data distribution (cells follow
     the vectors), LSH is oblivious (fixed hyperplanes)."""
     cents = ivf_centroids(corpus, n_cent, vec)
-    cb = ivf_assign(corpus, cents, vec).select("vec_id", vec, "cell")
+    cb = ivf_assign(corpus, cents, vec).select(
+        "vec_id", vec, "cell", _norm(vec).alias("_nb")
+    )
     qv = queries.select(F.col("vec_id").alias("q_id"), F.col(vec).alias("qe"))
     qb = ivf_assign(qv, cents, vec="qe")
-    qp = qb.select("q_id", "qe", F.posexplode("cscore").alias("cid0", "score"))
+    qp = qb.select(
+        "q_id", "qe", _norm("qe").alias("_na"), F.posexplode("cscore").alias("cid0", "score")
+    )
     wp = Window.partitionBy("q_id").orderBy(F.desc("score"), "cid0")
     qp = (
         qp.withColumn("pr", F.row_number().over(wp))
         .filter(F.col("pr") <= n_probe)
-        .select("q_id", "qe", (F.col("cid0") + 1).cast("long").alias("cell"))
+        .select("q_id", "qe", "_na", (F.col("cid0") + 1).cast("long").alias("cell"))
     )
     pairs = F.broadcast(qp).join(cb, "cell").filter(F.col("vec_id") != F.col("q_id"))
-    scored = pairs.select("q_id", "vec_id", _cos("qe", vec).alias("cos_sim"))
+    scored = pairs.select("q_id", "vec_id", _cos_with_norms("qe", vec).alias("cos_sim"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -179,9 +204,12 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     on the (tiny, broadcast) QUERY side only — the corpus is still hashed
     exactly once.
     """
-    cb = lsh_bucket(corpus, dim, n_bits, seed)
+    cb = lsh_bucket(corpus, dim, n_bits, seed).withColumn("_nb", _norm("embedding"))
     qb0 = lsh_bucket(queries, dim, n_bits, seed).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), "bucket"
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        _norm("embedding").alias("_na"),
+        "bucket",
     )
     if n_probes > 1:
         flips = [F.col("bucket").cast("long")] + [
@@ -189,7 +217,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
             for i in range(min(n_probes - 1, n_bits))
         ]
         qb = qb0.select(
-            "q_id", "qe", F.explode(F.array(*flips)).alias("bucket")
+            "q_id", "qe", "_na", F.explode(F.array(*flips)).alias("bucket")
         )
     else:
         qb = qb0
@@ -197,7 +225,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     # corpus vector lives in exactly one bucket, so no candidate repeats —
     # no dedup shuffle needed
     pairs = F.broadcast(qb).join(cb, "bucket").filter(F.col("vec_id") != F.col("q_id"))
-    scored = pairs.select("q_id", "vec_id", _cos("qe", "embedding").alias("cos_sim"))
+    scored = pairs.select("q_id", "vec_id", _cos_with_norms("qe", "embedding").alias("cos_sim"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
