@@ -1403,7 +1403,10 @@ def minhash_lsh(spark, sf_dir):
     operators/dedup.py."""
     from .operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles
 
-    sh = shingles(load(spark, sf_dir, "documents"), n=3)
+    # distinct=False: min over the shingle multiset == min over its set, so
+    # signatures (and the oracle hash) are unchanged while the shingle-table
+    # dedup exchange disappears
+    sh = shingles(load(spark, sf_dir, "documents"), n=3, distinct=False)
     sig = minhash_signatures(sh, k=8)
     return lsh_candidate_pairs(sig, k=8, band_size=2, max_bucket=1000)
 
@@ -1438,7 +1441,9 @@ def dedup_clusters(spark, sf_dir):
     recursive-CTE transitive closure."""
     from .operators.dedup import connected_components, lsh_candidate_pairs, minhash_signatures, shingles
 
-    sh = shingles(load(spark, sf_dir, "documents"), n=3)
+    # distinct=False: identical MinHash signatures without the shingle
+    # dedup exchange (min over multiset == min over set)
+    sh = shingles(load(spark, sf_dir, "documents"), n=3, distinct=False)
     sig = minhash_signatures(sh, k=8)
     pairs = lsh_candidate_pairs(sig, k=8, band_size=2, max_bucket=1000)
     cc = connected_components(pairs)

@@ -30,8 +30,14 @@ def _h64(col):
     return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
 
 
-def shingles(docs: DataFrame, n: int = 3, text: str = "text") -> DataFrame:
-    """(doc_id, shingle_hash) — distinct word n-gram fingerprints per doc."""
+def shingles(docs: DataFrame, n: int = 3, text: str = "text", distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle_hash) — word n-gram fingerprints per doc.
+
+    distinct=True (default) dedups per doc — required by set-semantics
+    consumers (Jaccard counts, simhash votes would change). MinHash-only
+    consumers pass distinct=False: min over a multiset equals min over its
+    set, so the signatures are identical while the pipeline skips its
+    single biggest exchange (the full-shingle-table dedup shuffle)."""
     words = F.filter(F.split(F.col(text), " "), lambda w: w != "")
     d = docs.select(F.col("doc_id").cast("string").alias("doc_id"), words.alias("ws"))
     d = d.filter(F.size("ws") >= n)
@@ -39,11 +45,10 @@ def shingles(docs: DataFrame, n: int = 3, text: str = "text") -> DataFrame:
         F.sequence(F.lit(0), F.size("ws") - n),
         lambda i: F.concat_ws("\x1f", F.slice("ws", i + 1, n)),
     )
-    return (
-        d.select("doc_id", F.explode(sh).alias("shingle"))
-        .select("doc_id", _h64(F.col("shingle")).alias("sh"))
-        .distinct()
+    out = d.select("doc_id", F.explode(sh).alias("shingle")).select(
+        "doc_id", _h64(F.col("shingle")).alias("sh")
     )
+    return out.distinct() if distinct else out
 
 
 def dedup_exact(docs: DataFrame, text: str = "text") -> DataFrame:
@@ -337,7 +342,12 @@ def contamination_scores(
     n_contaminated, contam_frac); docs shorter than w report 0 windows
     and frac 0.
     """
-    wt = _windows(train, w, text)
+    # wt feeds both the contamination-hit count and the per-doc totals;
+    # persist so the training-side explode+hash pass runs once (see
+    # duplicated_spans for the pattern rationale)
+    from ..caching import tracked_persist
+
+    wt = tracked_persist(_windows(train, w, text), StorageLevel.MEMORY_AND_DISK)
     eh = _windows(eval_docs, w, text).select("h").distinct()
     hits = wt.join(eh, "h", "semi").groupBy("doc_id").agg(
         F.count("*").alias("n_contaminated")
@@ -388,7 +398,16 @@ def duplicated_spans(
     10^8 occurrences; no per-hash sort anywhere), one per-doc ordered
     window for the interval merge. No O(n^2) stage exists to cap.
     """
-    wins = _windows(docs, w, text)
+    # the window-hash table feeds BOTH the duplicate-count aggregate and the
+    # semi-join probe (plus the canonical-occurrence pass under keep_first):
+    # without a persist the stride-1 explode + per-window md5 — the single
+    # most expensive stage, linear in corpus tokens — runs twice (three
+    # times with keep_first). Same persist-the-derived-table pattern as the
+    # KMV prefilter (r7): narrow (doc_id, off, h) rows, MEMORY_AND_DISK so
+    # it spills rather than evicts at scale, tracked for release.
+    from ..caching import tracked_persist
+
+    wins = tracked_persist(_windows(docs, w, text), StorageLevel.MEMORY_AND_DISK)
     dup = wins.groupBy("h").agg(F.count("*").alias("_c")).filter(F.col("_c") > 1).select("h")
     dw = wins.join(dup, "h", "semi")
     if keep_first:
@@ -457,7 +476,15 @@ def apply_substring_dedup(
     concatenated in offset order — all JVM-side string ops, no fold state.
     Returns (doc_id, n_tok, clean_len, clean_text).
     """
-    spans = duplicated_spans(docs, w, text, keep_first=keep_first)
+    # spans feeds the gap windows, the tail aggregate AND the has-span flag
+    # below — three otherwise-recomputed runs of the whole find+merge
+    # pipeline. Merged spans are a per-doc summary (orders of magnitude
+    # smaller than the corpus), so the persist is cheap at any scale.
+    from ..caching import tracked_persist
+
+    spans = tracked_persist(
+        duplicated_spans(docs, w, text, keep_first=keep_first), StorageLevel.MEMORY_AND_DISK
+    )
     base = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.col(text).alias("t"),
@@ -596,20 +623,30 @@ def connected_components(
     """
     if check_every < 1:
         raise ValueError(f"check_every must be >= 1, got {check_every}")
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.localCheckpoint()
-    lbl = sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
-    lbl = lbl.localCheckpoint()
+    # the edge pipeline (often a full LSH candidate computation) is
+    # materialized ONCE; the symmetric closure is built from the cached
+    # edges (the old sym.union(sym.swap) checkpoint ran the upstream twice)
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    nodes = e0.select(F.col("a").alias("n")).union(e0.select(F.col("b").alias("n"))).distinct()
+    # self-loops fold the own-label term into the neighbor-min aggregate:
+    # min over {own} ∪ neighbors in ONE join+groupBy per round instead of a
+    # neighbor-min join followed by a second label join + least()
+    sym = (
+        e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .union(nodes.select(F.col("n").alias("a"), F.col("n").alias("b")))
+        .localCheckpoint()
+    )
+    # label init is a narrow read of the cached self-loops — no extra
+    # distinct/checkpoint job
+    lbl = sym.filter(F.col("a") == F.col("b")).select(
+        F.col("a").alias("node"), F.col("a").alias("comp")
+    )
     for it in range(max_iter):
-        nb = (
+        new = (
             sym.join(lbl.select(F.col("node").alias("b"), F.col("comp").alias("bcomp")), "b")
             .groupBy("a")
-            .agg(F.min("bcomp").alias("nmin"))
-        )
-        new = (
-            lbl.join(nb.select(F.col("a").alias("node"), "nmin"), "node", "left")
-            .select("node", F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"))
+            .agg(F.min("bcomp").alias("comp"))
+            .select(F.col("a").alias("node"), "comp")
         )
         # pointer jumping: comp <- min(comp, comp[comp]) — label paths halve
         # every round, giving O(log diameter) total rounds
@@ -618,7 +655,12 @@ def connected_components(
             new.join(ptr, new["comp"] == ptr["c_node"], "left")
             .select("node", F.least(F.col("comp"), F.coalesce(F.col("c_comp"), F.col("comp"))).alias("comp"))
         )
-        new = new.localCheckpoint()
+        # lazy checkpoint: still truncates lineage every round, but the
+        # materialization rides the next probe's job instead of costing one
+        # eager job per round (probing-only checkpoints were ALSO tried and
+        # measured slower — the probe then recomputes the unchackpointed
+        # intermediate round and plans a 2x-deeper tree)
+        new = new.localCheckpoint(eager=False)
         if (it + 1) % check_every == 0 or it == max_iter - 1:
             changed = (
                 new.join(lbl.select("node", F.col("comp").alias("old")), "node")

@@ -35,56 +35,58 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..oracle.rollup import rollup_doc
 from ..schema import DEFAULT_FANOUT, DEFAULT_TIERS, DEFAULT_W, TIER_SCHEMA, tier_width
-
-_TIER_STRUCT = (
-    "named_struct('window_start', {ws}, 'mn', 2147483647, 'mx', -2147483648, "
-    "'sm', cast(0 as bigint), 'cnt', cast(0 as bigint), 'lst', 0)"
-)
-
 
 def _tier1_windows_expr(w: int, tokens: str = "tokens", n_tok: str = "n_tok") -> str:
     """SQL expr: array<struct> of tier-1 windows from the raw token array.
 
-    One sequential fold per window slice — O(n) total, no shuffle.
+    O(n) total, no shuffle. Shape: bind each window's slice ONCE in an
+    inner transform, then compute the stats with native array_min/array_max
+    /size/element_at plus a single scalar sum fold — HOF lambdas evaluate
+    INTERPRETED per element, so the old per-element named_struct fold paid
+    a 6-field struct allocation per TOKEN (measured 0.73 s vs 0.31 s for
+    the sf0.1 corpus at w=64, bitwise-identical output; r8). The sum fold
+    keeps the same left-to-right order, min/max are exact, so every value
+    is unchanged.
+
     Requires n_tok >= 1 (guaranteed by datagen; guard with a filter upstream
     for foreign inputs).
     """
-    init = _TIER_STRUCT.format(ws=f"cast(wi as bigint) * {w}")
     return f"""
     transform(
-      sequence(0, cast(ceil({n_tok} / {w}.0) as int) - 1),
-      wi -> aggregate(
-        slice({tokens}, wi * {w} + 1, {w}),
-        {init},
-        (acc, x) -> named_struct(
-          'window_start', acc.window_start,
-          'mn', least(acc.mn, x),
-          'mx', greatest(acc.mx, x),
-          'sm', acc.sm + x,
-          'cnt', acc.cnt + cast(1 as bigint),
-          'lst', x))
-    )"""
+      transform(sequence(0, cast(ceil({n_tok} / {w}.0) as int) - 1),
+                wi -> named_struct('ws', cast(wi as bigint) * {w},
+                                   's', slice({tokens}, wi * {w} + 1, {w}))),
+      p -> named_struct(
+        'window_start', p.ws,
+        'mn', array_min(p.s),
+        'mx', array_max(p.s),
+        'sm', aggregate(p.s, cast(0 as bigint), (a, x) -> a + x),
+        'cnt', cast(size(p.s) as bigint),
+        'lst', element_at(p.s, -1)))
+    """
 
 
 def _next_tier_windows_expr(prev_col: str, fanout: int, width: int) -> str:
-    """SQL expr: tier k+1 window array from tier k window array (same row)."""
-    init = _TIER_STRUCT.format(ws=f"cast(wi as bigint) * {width}")
+    """SQL expr: tier k+1 window array from tier k window array (same row).
+
+    Same slice-bound shape as :func:`_tier1_windows_expr` — per-field
+    extraction + native min/max and order-preserving scalar sum folds
+    replace the per-element struct-allocating fold; values identical
+    (min∘min / Σ∘Σ in the same order, last∘last)."""
     return f"""
     transform(
-      sequence(0, cast(ceil(size({prev_col}) / {fanout}.0) as int) - 1),
-      wi -> aggregate(
-        slice({prev_col}, wi * {fanout} + 1, {fanout}),
-        {init},
-        (acc, s) -> named_struct(
-          'window_start', acc.window_start,
-          'mn', least(acc.mn, s.mn),
-          'mx', greatest(acc.mx, s.mx),
-          'sm', acc.sm + s.sm,
-          'cnt', acc.cnt + s.cnt,
-          'lst', s.lst))
-    )"""
+      transform(sequence(0, cast(ceil(size({prev_col}) / {fanout}.0) as int) - 1),
+                wi -> named_struct('ws', cast(wi as bigint) * {width},
+                                   's', slice({prev_col}, wi * {fanout} + 1, {fanout}))),
+      p -> named_struct(
+        'window_start', p.ws,
+        'mn', array_min(transform(p.s, x -> x.mn)),
+        'mx', array_max(transform(p.s, x -> x.mx)),
+        'sm', aggregate(transform(p.s, x -> x.sm), cast(0 as bigint), (a, x) -> a + x),
+        'cnt', aggregate(transform(p.s, x -> x.cnt), cast(0 as bigint), (a, x) -> a + x),
+        'lst', element_at(p.s, -1).lst))
+    """
 
 
 def _explode_tier(df: DataFrame, windows_col: str, tier: int) -> DataFrame:
@@ -170,39 +172,81 @@ def cascade_pandas(
     """
     widths = [tier_width(k, w, fanout) for k in range(1, tiers + 1)]
 
-    def merge_tier(r: dict[str, np.ndarray], fo: int, width: int) -> dict[str, np.ndarray]:
-        m = r["window_start"].size
-        idx = np.arange(0, m, fo)
-        ends = np.minimum(idx + fo, m)
-        return {
-            "window_start": np.arange(idx.size, dtype=np.int64) * width,
-            "t_min": np.minimum.reduceat(r["t_min"], idx),
-            "t_max": np.maximum.reduceat(r["t_max"], idx),
-            "t_sum": np.add.reduceat(r["t_sum"], idx),
-            "t_cnt": np.add.reduceat(r["t_cnt"], idx),
+    def batch_rollup(flat_i32, doc_base, doc_len, width):
+        """Tumbling rollup of EVERY doc in one reduceat sweep.
+
+        Docs are adjacent in ``flat_i32``; each doc's windows tile it
+        exactly, so the per-window start indices over the concatenation are
+        strictly increasing and reduceat's left-fold segments match the
+        per-doc kernel bit-for-bit (same adds in the same order). Returns
+        (per-doc window counts, stat dict)."""
+        nw = -(-doc_len // width)  # ceil
+        base1 = np.concatenate(([0], np.cumsum(nw)[:-1]))
+        total_w = int(nw.sum())
+        widx = np.arange(total_w, dtype=np.int64) - np.repeat(base1, nw)
+        starts = np.repeat(doc_base, nw) + widx * width
+        ends = np.minimum(starts + width, np.repeat(doc_base + doc_len, nw))
+        return nw, {
+            "window_start": widx * width,
+            "t_min": np.minimum.reduceat(flat_i32, starts) if total_w else flat_i32[:0],
+            "t_max": np.maximum.reduceat(flat_i32, starts) if total_w else flat_i32[:0],
+            "t_sum": np.add.reduceat(flat_i32.astype(np.int64), starts)
+            if total_w
+            else np.empty(0, dtype=np.int64),
+            "t_cnt": ends - starts,
+            "t_last": flat_i32[ends - 1] if total_w else flat_i32[:0],
+        }
+
+    def batch_merge(r, nw_prev, fo, width):
+        """Tier k -> k+1 over the whole batch: reduceat on the concatenated
+        tier-k window arrays with per-doc boundaries (min∘min, Σ∘Σ, ...)."""
+        nw = -(-nw_prev // fo)
+        basep = np.concatenate(([0], np.cumsum(nw_prev)[:-1]))
+        base1 = np.concatenate(([0], np.cumsum(nw)[:-1]))
+        widx = np.arange(int(nw.sum()), dtype=np.int64) - np.repeat(base1, nw)
+        starts = np.repeat(basep, nw) + widx * fo
+        ends = np.minimum(starts + fo, np.repeat(basep + nw_prev, nw))
+        return nw, {
+            "window_start": widx * width,
+            "t_min": np.minimum.reduceat(r["t_min"], starts),
+            "t_max": np.maximum.reduceat(r["t_max"], starts),
+            "t_sum": np.add.reduceat(r["t_sum"], starts),
+            "t_cnt": np.add.reduceat(r["t_cnt"], starts),
             "t_last": r["t_last"][ends - 1],
         }
 
+    cols = ["window_start", "t_min", "t_max", "t_sum", "t_cnt", "t_last"]
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["window_start", "t_min", "t_max", "t_sum", "t_cnt", "t_last"]
         for pdf in batches:
+            if not len(pdf):
+                continue
+            toks = [np.asarray(t, dtype=np.int32) for t in pdf["tokens"]]
+            doc_len = np.array([a.size for a in toks], dtype=np.int64)
+            keep = doc_len > 0
+            if not keep.all():
+                toks = [a for a, k in zip(toks, keep) if k]
+                doc_len = doc_len[keep]
+            if not len(toks):
+                continue
+            doc_np = pdf["doc_id"].to_numpy()[keep] if not keep.all() else pdf["doc_id"].to_numpy()
+            src_np = pdf["source"].to_numpy()[keep] if not keep.all() else pdf["source"].to_numpy()
+            flat = np.concatenate(toks)
+            doc_base = np.concatenate(([0], np.cumsum(doc_len)[:-1]))
             acc: dict[str, list] = {c: [] for c in ["doc_id", "source", "tier", *cols]}
-            for row in pdf.itertuples(index=False):
-                toks = np.asarray(row.tokens, dtype=np.int32)
-                r = rollup_doc(toks, widths[0])
-                for k in range(1, tiers + 1):
-                    if k > 1:
-                        r = merge_tier(r, fanout, widths[k - 1])
-                    m = r["window_start"].size
-                    acc["doc_id"].append(np.repeat(row.doc_id, m))
-                    acc["source"].append(np.repeat(row.source, m))
-                    acc["tier"].append(np.full(m, k, dtype=np.int32))
-                    for c in cols:
-                        acc[c].append(r[c])
-            if acc["doc_id"]:
-                out = {c: np.concatenate(v) for c, v in acc.items()}
-                out["t_mean"] = out["t_sum"] / out["t_cnt"]
-                yield pd.DataFrame(out)
+            nw, r = batch_rollup(flat, doc_base, doc_len, widths[0])
+            for k in range(1, tiers + 1):
+                if k > 1:
+                    nw, r = batch_merge(r, nw, fanout, widths[k - 1])
+                acc["doc_id"].append(np.repeat(doc_np, nw))
+                acc["source"].append(np.repeat(src_np, nw))
+                acc["tier"].append(np.full(int(nw.sum()), k, dtype=np.int32))
+                for c in cols:
+                    acc[c].append(r[c])
+            out = {c: np.concatenate(v) for c, v in acc.items()}
+            out["t_cnt"] = out["t_cnt"].astype(np.int64)
+            out["t_mean"] = out["t_sum"] / out["t_cnt"]
+            yield pd.DataFrame(out)
 
     return df.filter(F.col("n_tok") > 0).mapInPandas(kernel, schema=TIER_SCHEMA)
 

@@ -1302,3 +1302,25 @@ def test_mixing_pow_agreement(spark):
     con.close()
     diff = {n: (got[n], want[n]) for n in ns if got[n] != want[n]}
     assert not diff, f"{len(diff)} w_q mismatches, e.g. {list(diff.items())[:3]}"
+
+
+def test_minhash_signatures_invariant_to_shingle_distinct(spark, docs_df):
+    """min over the shingle multiset == min over its set: the r8 fast path
+    (shingles distinct=False feeding MinHash) must produce IDENTICAL
+    signatures — and therefore identical LSH candidate pairs — to the
+    set-semantics path."""
+    from crossai_ts_spark.operators.dedup import minhash_signatures, shingles
+
+    # repetition inside one doc exercises the multiset/set difference
+    rows = [(i, t) for i, t in enumerate([
+        "a b c a b c a b c d e f",
+        "a b c d e f g h i",
+        "x y z x y z x y z",
+    ])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    s_set = minhash_signatures(shingles(docs, n=3, distinct=True), k=8).toPandas()
+    s_multi = minhash_signatures(shingles(docs, n=3, distinct=False), k=8).toPandas()
+    key = "doc_id"
+    a = s_set.sort_values(key).reset_index(drop=True)
+    b = s_multi.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
