@@ -15,12 +15,25 @@ from pyspark.storagelevel import StorageLevel
 
 _TRACKED: list[DataFrame] = []
 
+# Soft cap (ADVICE r7): a caller that never invokes release_tracked()
+# must not accumulate pinned storage and an unbounded list across
+# repeated operator calls. On overflow the OLDEST tracked frame is
+# unpersisted and dropped — always safe (it just recomputes on reuse),
+# and 64 live persists is far beyond any single query's needs.
+_TRACKED_CAP = 64
+
 
 def tracked_persist(
     df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
 ) -> DataFrame:
     df.persist(level)
     _TRACKED.append(df)
+    while len(_TRACKED) > _TRACKED_CAP:
+        old = _TRACKED.pop(0)
+        try:
+            old.unpersist(False)
+        except Exception:
+            pass
     return df
 
 

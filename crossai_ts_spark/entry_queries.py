@@ -3936,11 +3936,48 @@ FROM documents
 def shuffle_ranks(spark, sf_dir):
     """shuffle(seed) parity (DatasetArray.shuffle): a seeded deterministic
     permutation as hash-order ranks — same permutation in any engine, any
-    partitioning. (Global window = single-partition sort of doc IDs only —
-    at scale, sort keys ride a range-partitioned orderBy instead.)"""
+    partitioning.
+
+    Two-phase global rank (r7 verdict's one weak-scale flag): the r7 shape
+    was ``row_number() OVER (ORDER BY md5...)`` — an unpartitioned window
+    that sorts every doc id in ONE task. Now: range-partition on the
+    (md5 key, doc_id) total order, per-partition ``row_number`` (window
+    partitioned by the stamped partition id — no single-partition sort
+    anywhere), then add each partition's broadcast offset (prefix sums of
+    a control-plane collect of num-partitions count rows — the bloom/IVF
+    pattern). (md5, doc_id) is a UNIQUE total order and range partitions
+    are contiguous ascending, so offset + local rank reproduces the global
+    row_number EXACTLY — oracle hash-identical at all SFs."""
     d = load(spark, sf_dir, "documents").select(F.col("doc_id").cast("string").alias("doc_id"))
-    w = Window.orderBy(F.md5(F.concat_ws("", F.col("doc_id"), F.lit(":shuffle42"))), "doc_id")
-    return d.select("doc_id", F.row_number().over(w).cast("long").alias("shuffle_rank"))
+    key = F.md5(F.concat_ws("", F.col("doc_id"), F.lit(":shuffle42")))
+    part = (
+        d.select("doc_id", key.alias("_k"))
+        .repartitionByRange(F.col("_k"), F.col("doc_id"))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # stamped pids feed the offset counts AND the rank pass: persist so
+    # both read the same materialization (tracked; released by harnesses)
+    from .caching import tracked_persist
+
+    part = tracked_persist(part)
+    counts = part.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    offs: list = []
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offs.extend((F.lit(int(r["_pid"])), F.lit(acc)))
+        acc += int(r["_n"])
+    off_map = F.create_map(*offs) if offs else F.create_map()
+    w = Window.partitionBy("_pid").orderBy("_k", "doc_id")
+    return part.select(
+        "doc_id",
+        "_pid",
+        F.row_number().over(w).cast("long").alias("_rn"),
+    ).select(
+        "doc_id",
+        (F.coalesce(F.element_at(off_map, F.col("_pid")), F.lit(0)) + F.col("_rn"))
+        .cast("long")
+        .alias("shuffle_rank"),
+    )
 
 
 def _hann_literals(n: int) -> list[float]:
@@ -4972,7 +5009,15 @@ def cms_counts(spark, sf_dir):
     from .operators.cms import cms_build, cms_lookup
 
     docs = load(spark, sf_dir, "documents")
-    grams = _bigrams(docs)
+    # grams feeds both the sketch build and the exact verification branch:
+    # persist so the split+bigram explode runs once (tracked; the exact
+    # branch is sf-oracle scaffolding per the SCALE NOTE above, so the
+    # persist only ever covers inputs small enough to verify exactly)
+    from pyspark.storagelevel import StorageLevel
+
+    from .caching import tracked_persist
+
+    grams = tracked_persist(_bigrams(docs), StorageLevel.MEMORY_AND_DISK)
     cms = cms_build(grams, "ngram", d=4, w=8192)
     queries = _bigrams(docs, F.col("doc_id") < 20).distinct()
     est = cms_lookup(cms, queries, "ngram", d=4, w=8192)

@@ -253,6 +253,14 @@ def kmv_sketch(
     Output: (window_start, ks array<long> ascending, n_distinct_est).
     `prefilter=False` restores the single-pass two-phase plan (used by
     the boundedness parity test).
+
+    STORAGE CONTRACT (ADVICE r7): with ``prefilter=True`` this operator
+    persists two intermediates (the hashed projection and the per-window
+    threshold) and registers them with ``crossai_ts_spark.caching``.
+    Callers that issue repeated kmv_sketch queries in one application
+    should call ``caching.release_tracked()`` after each consuming
+    action — otherwise the pinned executor storage (and the tracked
+    list) accumulate for the application lifetime.
     """
     e = _kmv_hashed(events, key, ts, window_sec, hash)
     if not prefilter:

@@ -56,9 +56,15 @@ def s3a_path(location: str, spark: SparkSession | None = None,
     for scheme, impl_key in (("s3://", "fs.s3.impl"), ("s3n://", "fs.s3n.impl")):
         if location.startswith(scheme):
             if spark is not None:
-                conf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
-                if conf.get(impl_key, ""):
-                    return location  # dedicated handler bound (e.g. EMRFS)
+                try:
+                    conf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+                    if conf.get(impl_key, ""):
+                        return location  # dedicated handler bound (e.g. EMRFS)
+                except Exception:
+                    # Spark Connect sessions expose no sparkContext/_jsc
+                    # (ADVICE r7): fall back to the unconditional rewrite
+                    # rather than failing the read/write
+                    pass
             return "s3a://" + location[len(scheme):]
     return location
 

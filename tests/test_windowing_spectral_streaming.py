@@ -480,8 +480,13 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
     rows = [(i, f"2024-01-01 0{i % 4}:1{i % 5}:2{i % 3}", i * 13 % 97) for i in range(600)]
     schema = "event_id long, ts_s string, user_id long"
     in_dir = tmp_path / "hll_stream"
+    # null-bearing rows ride ONLY the stream (ADVICE r7): a null
+    # timestamp (what try_to_timestamp yields for malformed input) and a
+    # null key must be dropped at ingest — not kill the query with a
+    # NaN->int64 cast — and must not change any estimate
+    bad = [(1000, None, 5), (1001, "2024-01-01 00:10:20", None)]
     spark.createDataFrame(rows[:300], schema).coalesce(1).write.parquet(str(in_dir / "b0"))
-    spark.createDataFrame(rows[300:], schema).coalesce(1).write.parquet(str(in_dir / "b1"))
+    spark.createDataFrame(rows[300:] + bad, schema).coalesce(1).write.parquet(str(in_dir / "b1"))
 
     raw = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
         str(in_dir) + "/*"
@@ -675,8 +680,13 @@ def test_streaming_kmv_matches_batch(spark, tmp_path):
     rows = [(i, f"2024-01-01 0{i % 4}:1{i % 5}:2{i % 3}", i * 13 % 97) for i in range(600)]
     schema = "event_id long, ts_s string, user_id long"
     in_dir = tmp_path / "kmv_stream"
+    # null-bearing rows ride ONLY the stream (ADVICE r7): a null
+    # timestamp (what try_to_timestamp yields for malformed input) and a
+    # null key must be dropped at ingest — not kill the query with a
+    # NaN->int64 cast — and must not change any estimate
+    bad = [(1000, None, 5), (1001, "2024-01-01 00:10:20", None)]
     spark.createDataFrame(rows[:300], schema).coalesce(1).write.parquet(str(in_dir / "b0"))
-    spark.createDataFrame(rows[300:], schema).coalesce(1).write.parquet(str(in_dir / "b1"))
+    spark.createDataFrame(rows[300:] + bad, schema).coalesce(1).write.parquet(str(in_dir / "b1"))
 
     raw = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
         str(in_dir) + "/*"
