@@ -1446,6 +1446,11 @@ def dedup_clusters(spark, sf_dir):
     sh = shingles(load(spark, sf_dir, "documents"), n=3, distinct=False)
     sig = minhash_signatures(sh, k=8)
     pairs = lsh_candidate_pairs(sig, k=8, band_size=2, max_bucket=1000)
+    # operator default check_every=2 kept deliberately: probing every
+    # round was tried in r8 (LSH clusters converge in 2-3 rounds, so one
+    # spare round looked wasteful) and measured SLOWER interleaved
+    # (4.37 s vs 3.77 s) — a probe is itself a join+count job, costing
+    # more than the no-op round it saves.
     cc = connected_components(pairs)
     return cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
 
@@ -4506,11 +4511,17 @@ def rollup_histogram_q(spark, sf_dir):
     value buckets over the ASCII band + window total + median bucket — the continuous
     aggregate that gives approximate quantiles at any retention tier
     (fixed-boundary histograms re-aggregate exactly; the tier identity is
-    pytest-verified in histogram_merge)."""
-    from .operators.rollup import rollup_histogram
+    pytest-verified in histogram_merge).
+
+    r8: routed through the Arrow bincount twin — count-identical to the
+    native HOF shape (frame-equality tested both ways in test_rollup) and
+    per-token O(1) instead of O(n_buckets) interpreted lambda work:
+    interleaved A/B 1.01 s vs 1.37 s at sf0.1, and 0.87 s vs 2.4 s on the
+    255 M-token stress input (BENCH/BASELINE.md r7 numbers)."""
+    from .operators.rollup import rollup_histogram_pandas
 
     seqs = tokenize_documents(load(spark, sf_dir, "documents"))
-    return rollup_histogram(seqs, w=32, n_buckets=16, vmax=128)
+    return rollup_histogram_pandas(seqs, w=32, n_buckets=16, vmax=128)
 
 
 # n_tokens^alpha as the cross-engine-exact sqrt chain (mixing.pow_alpha_sql
@@ -5009,15 +5020,12 @@ def cms_counts(spark, sf_dir):
     from .operators.cms import cms_build, cms_lookup
 
     docs = load(spark, sf_dir, "documents")
-    # grams feeds both the sketch build and the exact verification branch:
-    # persist so the split+bigram explode runs once (tracked; the exact
-    # branch is sf-oracle scaffolding per the SCALE NOTE above, so the
-    # persist only ever covers inputs small enough to verify exactly)
-    from pyspark.storagelevel import StorageLevel
-
-    from .caching import tracked_persist
-
-    grams = tracked_persist(_bigrams(docs), StorageLevel.MEMORY_AND_DISK)
+    # grams feeds both the sketch build and the exact branch but is NOT
+    # persisted (r8): the shared subtree is a cheap codegen split+explode,
+    # and interleaved A/B measured persisting it slightly SLOWER (1.64 s
+    # vs 1.52 s) — caching 1.2M string rows costs more than recomputing
+    # them. (Contrast the md5-heavy _windows table, where persist wins.)
+    grams = _bigrams(docs)
     cms = cms_build(grams, "ngram", d=4, w=8192)
     queries = _bigrams(docs, F.col("doc_id") < 20).distinct()
     est = cms_lookup(cms, queries, "ngram", d=4, w=8192)

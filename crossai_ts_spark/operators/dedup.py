@@ -342,12 +342,13 @@ def contamination_scores(
     n_contaminated, contam_frac); docs shorter than w report 0 windows
     and frac 0.
     """
-    # wt feeds both the contamination-hit count and the per-doc totals;
-    # persist so the training-side explode+hash pass runs once (see
-    # duplicated_spans for the pattern rationale)
-    from ..caching import tracked_persist
-
-    wt = tracked_persist(_windows(train, w, text), StorageLevel.MEMORY_AND_DISK)
+    # wt feeds both the contamination-hit count and the per-doc totals but
+    # is NOT persisted (r8): with only two cheap consumers (a semi join
+    # and a count groupBy) the interleaved A/B measured persist slightly
+    # slower (1.57 s vs 1.42 s) — storing the 8M-row table costs more
+    # than one recompute. duplicated_spans persists the same table because
+    # three heavier consumers read it there.
+    wt = _windows(train, w, text)
     eh = _windows(eval_docs, w, text).select("h").distinct()
     hits = wt.join(eh, "h", "semi").groupBy("doc_id").agg(
         F.count("*").alias("n_contaminated")

@@ -163,6 +163,13 @@ def lm_bigram_nll(docs: DataFrame, quantize: int | None = None) -> DataFrame:
     e = f.select("doc_id", F.explode(bg).alias("p")).select(
         "doc_id", F.col("p.pos").alias("pos"), F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
+    # NOT persisted although three consumers read it (r8): the shared
+    # subtree is a cheap codegen split+explode, and caching 1.2M wide rows
+    # costs more than recomputing them — interleaved A/B measured 1.38 s
+    # unpersisted vs 1.83 s persisted at sf0.1. Persist pays only when the
+    # shared subtree is CPU-heavy relative to its materialized size (the
+    # md5-per-window _windows table, the LSH bucket table); a plain
+    # explode is not.
     cb = e.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = e.groupBy("w1").agg(F.count("*").alias("c1"))
     v = d.select(F.explode("ws").alias("x")).agg(F.countDistinct("x").alias("v"))
