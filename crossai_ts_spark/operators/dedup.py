@@ -659,7 +659,7 @@ def connected_components(
         # lazy checkpoint: still truncates lineage every round, but the
         # materialization rides the next probe's job instead of costing one
         # eager job per round (probing-only checkpoints were ALSO tried and
-        # measured slower — the probe then recomputes the unchackpointed
+        # measured slower — the probe then recomputes the uncheckpointed
         # intermediate round and plans a 2x-deeper tree)
         new = new.localCheckpoint(eager=False)
         if (it + 1) % check_every == 0 or it == max_iter - 1:
