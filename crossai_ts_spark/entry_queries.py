@@ -5029,7 +5029,17 @@ def cms_counts(spark, sf_dir):
     cms = cms_build(grams, "ngram", d=4, w=8192)
     queries = _bigrams(docs, F.col("doc_id") < 20).distinct()
     est = cms_lookup(cms, queries, "ngram", d=4, w=8192)
-    exact = grams.groupBy("ngram").agg(F.count("*").alias("exact_cnt"))
+    # guide §3.2 shape: the exact branch only needs counts for the QUERY
+    # ngrams (the left join discards the rest), so semi-filter with the
+    # broadcast query set BEFORE the groupBy — at scale this turns an
+    # ngram-universe-wide aggregation into one over ~|queries| keys
+    # (value-identical; verified row-for-row). Local sf0.1 wall is flat
+    # (the d x md5 sketch build dominates there).
+    exact = (
+        grams.join(F.broadcast(queries), "ngram", "semi")
+        .groupBy("ngram")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
     return est.join(exact, "ngram", "left").select(
         "ngram", "est", F.coalesce("exact_cnt", F.lit(0).cast("long")).alias("exact_cnt")
     )
