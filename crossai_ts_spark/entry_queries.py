@@ -479,7 +479,7 @@ def gapfill_linear(spark, sf_dir):
     via the join-free run-emission operator. Per-user exact checksum:
     floor(filled*1024) is an identical integer in both engines because every
     `filled` double is produced by the same IEEE expression."""
-    from .operators.gapfill import gapfill_runs
+    from .operators.gapfill import gapfill_linear_checksum
 
     ev = _ev(spark, sf_dir)
     obs = (
@@ -487,10 +487,14 @@ def gapfill_linear(spark, sf_dir):
         .agg(F.max("cents").alias("value"))
         .select(F.col("user_id").cast("string").alias("doc_id"), F.col("minute").alias("offset"), "value")
     )
-    out = gapfill_runs(obs, mode="linear")
-    return out.groupBy(F.col("doc_id").cast("long").alias("user_id")).agg(
-        F.count("*").alias("n_points"),
-        F.sum(F.floor(F.col("filled") * 1024.0).cast("long")).cast("long").alias("chk"),
+    # r8: the checksum aggregate runs through the vectorized run-expansion
+    # kernel — bitwise-identical to gapfill_runs + groupBy (parity-tested;
+    # same JVM anchor/slope expressions, same IEEE per-point ops in numpy)
+    # without generating the 63M-point dense grid through explode +
+    # per-point hash-aggregate probes
+    out = gapfill_linear_checksum(obs, quantize=1024.0)
+    return out.select(
+        F.col("doc_id").cast("long").alias("user_id"), "n_points", "chk"
     )
 
 

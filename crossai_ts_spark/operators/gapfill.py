@@ -98,6 +98,94 @@ def gapfill_linear(observed: DataFrame, spine: DataFrame, value: str = "value") 
     return df.select("doc_id", "offset", filled.alias("filled"))
 
 
+def gapfill_linear_checksum(
+    observed: DataFrame, quantize: float = 1024.0, value: str = "value"
+) -> DataFrame:
+    """Per-doc (doc_id, n_points, chk) of the linear gap-fill WITHOUT
+    materializing the dense grid in the JVM: chk = Σ floor(filled * q)
+    over the same dense points :func:`gapfill_runs` (mode='linear') emits.
+
+    Bitwise-identical to ``gapfill_runs + groupBy`` (tested): the anchor
+    windows, run bounds and per-run slope are the SAME JVM expressions
+    (so long→double casts round identically), and the per-point fill
+    ``v + slope * d`` / ``floor(filled * q)`` are the same IEEE float64
+    ops in numpy. The win (guide §4.2): the JVM path generates the dense
+    grid through ``explode(sequence(...))`` — one array allocation per
+    run plus a hash-aggregate probe per dense point (63 M rows at sf0.1)
+    — while this kernel expands each Arrow batch of runs with
+    repeat/arange vector math and reduces per run with ``np.add.reduceat``
+    before anything is shuffled. Only run-level rows (one per
+    observation) ever cross the Arrow boundary in either direction.
+    """
+    import numpy as np
+    import pandas as pd
+
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    v = F.col(value).cast("double")
+    d = observed.filter(v.isNotNull()).select(
+        "doc_id",
+        F.col("offset").cast("long").alias("offset"),
+        v.alias("_v"),
+        F.lead(F.col("offset").cast("long")).over(w).alias("_no"),
+        F.lead(v).over(w).alias("_nv"),
+    )
+    # run_end and slope in the JVM with gapfill_runs' exact expressions
+    run_end = F.when(F.col("_no").isNull(), F.col("offset")).otherwise(F.col("_no") - 1)
+    slope = (F.col("_nv") - F.col("_v")) / (
+        F.col("_no").cast("double") - F.col("offset").cast("double")
+    )
+    runs = d.select(
+        "doc_id", "offset", "_v", run_end.alias("_re"), slope.alias("_slope")
+    )
+
+    q = float(quantize)
+
+    # memory bound: one Arrow batch of runs expands to sum(run lengths)
+    # dense points; slice batches so no expansion exceeds ~4M points
+    # (~32 MB of f8) regardless of how pathological the observation gaps
+    # are — the same per-run generator bound the JVM sequence() path has,
+    # but enforced explicitly.
+    max_points = 4_000_000
+
+    def kernel(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            off_all = pdf["offset"].to_numpy(dtype=np.int64)
+            vv_all = pdf["_v"].to_numpy(dtype=np.float64)
+            re_all = pdf["_re"].to_numpy(dtype=np.int64)
+            sl_all = pdf["_slope"].to_numpy(dtype=np.float64)  # NaN on last runs
+            n_all = re_all - off_all + 1
+            cuts = [0]
+            acc = 0
+            for i, ni in enumerate(n_all):
+                acc += int(ni)
+                if acc >= max_points:
+                    cuts.append(i + 1)
+                    acc = 0
+            if cuts[-1] != len(n_all):
+                cuts.append(len(n_all))
+            for s, t in zip(cuts[:-1], cuts[1:]):
+                off, vv, sl, n = off_all[s:t], vv_all[s:t], sl_all[s:t], n_all[s:t]
+                base = np.concatenate(([0], np.cumsum(n)[:-1]))
+                # within-run point index 0..n_i-1 over the whole slice
+                widx = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(base, n)
+                vr = np.repeat(vv, n)
+                with np.errstate(invalid="ignore"):
+                    filled = np.where(
+                        widx == 0, vr, vr + np.repeat(sl, n) * widx.astype(np.float64)
+                    )
+                contrib = np.floor(filled * q).astype(np.int64)
+                chk = np.add.reduceat(contrib, base) if n.size else contrib[:0]
+                yield pd.DataFrame({"doc_id": pdf["doc_id"].iloc[s:t], "n": n, "chk": chk})
+
+    part = runs.mapInPandas(kernel, "doc_id string, n long, chk long")
+    return part.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_points"),
+        F.sum("chk").cast("long").alias("chk"),
+    )
+
+
 def gapfill_runs(
     observed: DataFrame,
     mode: str = "locf",

@@ -42,3 +42,27 @@ def test_runs_equals_spine_on_observed_span(spark, gapped2, mode):
     a = got.filled.to_numpy()
     b = exp.filled.to_numpy()
     assert (a.view(np.int64) == b.view(np.int64)).all()  # bitwise, incl. interp
+
+
+def test_linear_checksum_kernel_bitwise_equals_runs_path(spark, gapped2):
+    """r8: gapfill_linear_checksum (vectorized run-expansion kernel) must
+    reproduce gapfill_runs(mode='linear') + groupBy floor-checksums
+    BITWISE — same anchors, same slope expression, same IEEE per-point
+    ops — including single-point (trailing) runs where slope is null."""
+    from crossai_ts_spark.operators.gapfill import gapfill_linear_checksum
+
+    _, sdf = gapped2
+    want = (
+        gapfill_runs(sdf, mode="linear")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum(F.floor(F.col("filled") * 1024.0).cast("long")).cast("long").alias("chk"),
+        )
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    got = (
+        gapfill_linear_checksum(sdf, quantize=1024.0)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got[["doc_id", "n_points", "chk"]].equals(want[["doc_id", "n_points", "chk"]])
