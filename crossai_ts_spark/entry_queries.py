@@ -580,6 +580,41 @@ def _type_islands_sql(et: str, alias: str) -> str:
 )"""
 
 
+def _type_islands_all(ev: DataFrame, types: list[str]) -> DataFrame:
+    """Gap>6h islands for EVERY listed event type in ONE window pipeline.
+
+    Identical rows to running the per-type pipeline separately: the window
+    partitions by (user_id, event_type), so each type's ordering, breaks
+    and groups are untouched by the other types sharing the pass
+    (oracle-hash-verified on interval_iou / detection_metrics /
+    event_classification). Persisted (tracked): both the pred and gt
+    branches read it, and the island table is an orders-of-magnitude
+    reduction of the events scan."""
+    e = ev.filter(F.col("event_type").isin(*types))
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    e = e.withColumn(
+        "brk",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > 21600000000)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    wg = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    e = e.withColumn("grp", F.sum("brk").over(wg))
+    out = e.groupBy("user_id", "event_type", "grp").agg(
+        F.min("us").alias("s"), F.max("us").alias("e")
+    )
+    from .caching import tracked_persist
+
+    return tracked_persist(out)
+
+
+
 @q(
     "interval_iou",
     SQL_EV
@@ -606,26 +641,12 @@ SELECT user_id, p_start, g_start, iou FROM best WHERE rk = 1
 def interval_iou(spark, sf_dir):
     """Max-IoU interval matching of predicted vs ground-truth event runs
     (caits classify_events, performance/detection.py:98-156; IoU
-    metrics.py:69-101). Range join + top-1 per pred."""
+    metrics.py:69-101). Range join + top-1 per pred. r8: both island
+    families come from one shared window pass (_type_islands_all)."""
     ev = _ev(spark, sf_dir)
-
-    def type_islands(et: str) -> DataFrame:
-        e = ev.filter(F.col("event_type") == et)
-        w = Window.partitionBy("user_id").orderBy("us", "event_id")
-        e = e.withColumn(
-            "brk",
-            F.when(
-                (F.col("us") - F.lag("us").over(w) > 21600000000)
-                | F.lag("us").over(w).isNull(),
-                1,
-            ).otherwise(0),
-        )
-        wg = Window.partitionBy("user_id").orderBy("us").rowsBetween(Window.unboundedPreceding, 0)
-        e = e.withColumn("grp", F.sum("brk").over(wg))
-        return e.groupBy("user_id", "grp").agg(F.min("us").alias("s"), F.max("us").alias("e"))
-
-    pred = type_islands("click").alias("p")
-    gt = type_islands("error").alias("g")
+    isl = _type_islands_all(ev, ["click", "error"])
+    pred = isl.filter(F.col("event_type") == "click").select("user_id", "s", "e").alias("p")
+    gt = isl.filter(F.col("event_type") == "error").select("user_id", "s", "e").alias("g")
     pairs = pred.join(
         gt,
         (F.col("p.user_id") == F.col("g.user_id"))
@@ -1859,22 +1880,10 @@ def detection_metrics(spark, sf_dir):
     """detection_ratio / matched-event counts (caits/performance/metrics.py:103,
     detection.py:98-156) over the interval-IoU join."""
     ev = _ev(spark, sf_dir)
-
-    def type_islands(et):
-        e = ev.filter(F.col("event_type") == et)
-        w = Window.partitionBy("user_id").orderBy("us", "event_id")
-        e = e.withColumn(
-            "brk",
-            F.when(
-                (F.col("us") - F.lag("us").over(w) > 21600000000) | F.lag("us").over(w).isNull(), 1
-            ).otherwise(0),
-        )
-        wg = Window.partitionBy("user_id").orderBy("us").rowsBetween(Window.unboundedPreceding, 0)
-        e = e.withColumn("grp", F.sum("brk").over(wg))
-        return e.groupBy("user_id", "grp").agg(F.min("us").alias("s"), F.max("us").alias("e"))
-
-    pred = type_islands("click").alias("p")
-    gt = type_islands("error").alias("g")
+    # r8: single shared island pass (see _type_islands_all)
+    isl = _type_islands_all(ev, ["click", "error"])
+    pred = isl.filter(F.col("event_type") == "click").select("user_id", "s", "e").alias("p")
+    gt = isl.filter(F.col("event_type") == "error").select("user_id", "s", "e").alias("g")
     pairs = pred.join(
         gt,
         (F.col("p.user_id") == F.col("g.user_id"))
@@ -2605,34 +2614,29 @@ def event_classification(spark, sf_dir):
     deterministic tiebreak), C/D/S/I counts, the three metrics. IoU_th=0.25."""
     ev = _ev(spark, sf_dir)
 
-    def islands(types, mapped: dict | None = None):
-        e = ev.filter(F.col("event_type").isin(*types))
-        w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
-        e = e.withColumn(
-            "brk",
-            F.when(
-                (F.col("us") - F.lag("us").over(w) > 21600000000)
-                | F.lag("us").over(w).isNull(),
-                1,
-            ).otherwise(0),
+    # r8: ONE island pipeline over all four event types (islands are
+    # computed per (user_id, event_type) group, so one pass yields rows
+    # identical to the old separate pred/gt passes — verified equal), then
+    # pred/gt split by filter over the persisted (small) island table: one
+    # events scan + one window stage instead of two of each. Labels derive
+    # from event_type exactly as before (gt maps error->click,
+    # view->purchase).
+    isl_all = _type_islands_all(ev, ["click", "purchase", "error", "view"])
+    pred = (
+        isl_all.filter(F.col("event_type").isin("click", "purchase"))
+        .select("user_id", F.col("event_type").alias("lbl"), "s", "e")
+        .alias("p")
+    )
+    gt = (
+        isl_all.filter(F.col("event_type").isin("error", "view"))
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "error", "click").otherwise("purchase").alias("lbl"),
+            "s",
+            "e",
         )
-        wg = (
-            Window.partitionBy("user_id", "event_type")
-            .orderBy("us")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        e = e.withColumn("grp", F.sum("brk").over(wg))
-        lbl = F.col("event_type")
-        if mapped is not None:
-            lbl = F.when(F.col("event_type") == "error", "click").otherwise("purchase")
-        return (
-            e.groupBy("user_id", "event_type", "grp")
-            .agg(F.min("us").alias("s"), F.max("us").alias("e"), F.first(lbl).alias("_l"))
-            .select("user_id", F.col("_l").alias("lbl"), "s", "e")
-        )
-
-    pred = islands(["click", "purchase"]).alias("p")
-    gt = islands(["error", "view"], mapped={}).alias("g")
+        .alias("g")
+    )
     inter = F.greatest(
         F.lit(0), F.least(F.col("p.e"), F.col("g.e")) - F.greatest(F.col("p.s"), F.col("g.s"))
     )
