@@ -146,6 +146,13 @@ def ngram_jaccard_pairs(
     shingles — Jaccard is exact over the capped universe, and the join cost
     is bounded by max_df^2 per shingle.
     """
+    # the shingle table (md5 per shingle + per-doc distinct — CPU-heavy
+    # upstream) feeds FOUR consumers here: the df-cap aggregate, the
+    # per-doc sizes, and both sides of the candidate self-join. Persist by
+    # the r8 decision rule (CPU-heavy shared subtree); tracked for release.
+    from ..caching import tracked_persist
+
+    sh = tracked_persist(sh, StorageLevel.MEMORY_AND_DISK)
     if max_df is not None:
         # near-universal shingles (df > max_df) are a tiny set: map-side
         # combined groupBy -> broadcast left_anti (no sort of the full
